@@ -1,0 +1,20 @@
+"""Dynamics model registry (SURVEY.md §2.1)."""
+
+from safe_control_tpu.core import spec as _spec
+from safe_control_tpu.dynamics import base
+from safe_control_tpu.dynamics import single_integrator2d
+from safe_control_tpu.dynamics import double_integrator2d
+from safe_control_tpu.dynamics import unicycle2d
+from safe_control_tpu.dynamics import dynamic_unicycle2d
+from safe_control_tpu.dynamics import kinematic_bicycle2d
+
+base.register(_spec.SINGLE_INTEGRATOR_2D, single_integrator2d)
+base.register(_spec.DOUBLE_INTEGRATOR_2D, double_integrator2d)
+base.register(_spec.UNICYCLE_2D, unicycle2d)
+base.register(_spec.DYNAMIC_UNICYCLE_2D, dynamic_unicycle2d)
+base.register(_spec.KINEMATIC_BICYCLE_2D, kinematic_bicycle2d)
+
+get_model = base.get_model
+MODEL_REGISTRY = base.MODEL_REGISTRY
+
+__all__ = ["get_model", "MODEL_REGISTRY", "base"]
