@@ -1,0 +1,236 @@
+"""Host-side controller with the reference's imperative API.
+
+A drop-in analog of /root/reference/tracking.py ``LocalTrackingController``
+(:36-752) for users coming from the reference: same constructor shape
+(``X0, robot_spec dict, controller_type dict, dt, env``), same methods
+(``set_waypoints``, ``set_unknown_obs``, ``control_step``, ``run_all_steps``,
+``get_control_input``), same return-code contract.  Internally it owns a
+jitted functional tracker step (sim/tracking.py); visualization hooks are
+optional host-side matplotlib (viz/plotting.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import numpy as np
+
+from safe_control_tpu.core import spec as spec_mod
+from safe_control_tpu.core.types import pad_obstacles
+from safe_control_tpu.dynamics import get_model
+from safe_control_tpu.sim import tracking
+from safe_control_tpu.solvers import mpc_cbf as mpc_mod
+
+MAX_WAYPOINTS = 32
+MAX_KNOWN_OBS = 32
+MAX_UNKNOWN_OBS = 16
+
+
+class InfeasibleError(Exception):
+    """Raised when the QP is infeasible or the robot collides
+    (tracking.py:25-33)."""
+
+
+_SPEC_KEYS = {
+    "v_max", "v_min", "w_max", "a_max", "ax_max", "ay_max", "radius",
+    "wheel_base", "body_width", "front_ax_dist", "rear_ax_dist", "delta_max",
+    "beta_max", "f_min", "f_max", "u_min", "u_max", "mass", "inertia",
+    "throttle_min", "throttle_max", "elevator_min", "elevator_max",
+    "descent_speed_max", "pitch_max", "nominal_k_v", "nominal_k_a",
+    "nominal_k_omega", "cbf_alpha", "cbf_alpha1", "cbf_alpha2",
+    "mpc_cbf_alpha", "mpc_cbf_alpha1", "mpc_cbf_alpha2", "reached_threshold",
+    "cam_range",
+}
+
+
+def spec_from_dict(robot_spec: Dict) -> spec_mod.RobotSpec:
+    """Translate a reference-style robot_spec dict to a RobotSpec pytree."""
+    model = robot_spec["model"]
+    overrides = {k: float(v) for k, v in robot_spec.items() if k in _SPEC_KEYS}
+    if "fov_angle" in robot_spec:
+        # The reference stores fov_angle in degrees (robots/robot.py:53-54).
+        overrides["fov_angle"] = math.radians(float(robot_spec["fov_angle"]))
+    return spec_mod.make_spec(model, **overrides)
+
+
+class LocalTrackingController:
+    def __init__(
+        self,
+        X0,
+        robot_spec: Dict,
+        controller_type: Optional[Dict] = None,
+        dt: float = 0.05,
+        show_animation: bool = False,
+        save_animation: bool = False,
+        enable_rotation: bool = True,
+        raise_error: bool = False,
+        env=None,
+        ax=None,
+        fig=None,
+        **_ignored,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self._jax = jax
+        self._jnp = jnp
+        controller_type = controller_type or {}
+        self.robot_spec = dict(robot_spec)
+        self.model_name = robot_spec["model"]
+        self.dt = dt
+        self.raise_error = raise_error
+        self.spec = spec_from_dict(robot_spec)
+        model = get_model(self.model_name)
+
+        X0 = np.asarray(X0, dtype=float).reshape(-1)
+        X0, yaw0 = self._pad_x0(X0, model)
+        self._x0 = X0
+        self._yaw0 = yaw0
+
+        horizon = int(robot_spec.get("mpc_horizon", 10))
+        num_constraints = int(robot_spec.get("num_constraints", 10))
+        self.cfg = tracking.TrackerConfig(
+            model_name=self.model_name,
+            pos_controller=controller_type.get("pos", "cbf_qp"),
+            att_controller=controller_type.get("att", "velocity_tracking_yaw"),
+            dt=dt,
+            num_obs=num_constraints,
+            enable_rotation=enable_rotation,
+            use_sensor=robot_spec.get("sensor") == "rgbd",
+            reached_threshold=float(
+                robot_spec.get("reached_threshold", 0.3)
+            ),
+            mpc=mpc_mod.MPCConfig(horizon=horizon, num_obs=5),
+        )
+
+        env_obs = np.zeros((0, 7))
+        if env is not None and getattr(env, "obs_circle", None) is not None:
+            oc = np.asarray(env.obs_circle, dtype=float)
+            if oc.size:
+                env_obs = np.hstack([oc, np.zeros((oc.shape[0], 7 - oc.shape[1]))])
+        self.obs = env_obs  # user-assignable, like the reference (:114)
+        self.unknown_obs = np.zeros((0, 7))
+
+        self.waypoints = np.zeros((0, 2))
+        self.state = None
+        self.u_pos = np.zeros(model.N_CONTROLS)
+        self._step_jit = None
+
+    @staticmethod
+    def _pad_x0(X0, model):
+        """Model-specific initial-state padding (tracking.py:60-99)."""
+        n = model.N_STATES
+        yaw0 = 0.0
+        if X0.shape[0] == n:
+            return X0, (X0[2] if n >= 3 else 0.0)
+        if X0.shape[0] == 2:
+            x = np.zeros(n)
+            x[:2] = X0
+            return x, 0.0
+        if X0.shape[0] == 3:
+            x = np.zeros(n)
+            x[:2] = X0[:2]
+            if n >= 3:
+                x[2] = X0[2]
+                yaw0 = X0[2]
+            else:
+                yaw0 = X0[2]
+            return x, yaw0
+        raise ValueError(f"Invalid initial state dim {X0.shape[0]} for {model}")
+
+    # ------------------------------------------------------------------ API
+    def set_waypoints(self, waypoints):
+        wps = np.asarray(waypoints, dtype=float)
+        self.waypoints = wps
+        first_goal = wps[0][:2] if len(wps) else None
+        self.state = tracking.init_state(
+            self.cfg, self.spec, self._x0, self._yaw0, first_goal=first_goal
+        )
+
+    def set_unknown_obs(self, unknown_obs):
+        uo = np.asarray(unknown_obs, dtype=float)
+        if uo.ndim == 1 and uo.size:
+            uo = uo.reshape(1, -1)
+        if uo.size == 0:
+            uo = np.zeros((0, 7))
+        elif uo.shape[1] < 7:
+            uo = np.hstack([uo, np.zeros((uo.shape[0], 7 - uo.shape[1]))])
+        self.unknown_obs = uo[:, :7]
+
+    def _ensure_jit(self):
+        if self._step_jit is not None:
+            return
+        jax, jnp = self._jax, self._jnp
+        cfg, spec = self.cfg, self.spec
+
+        def fn(state, wps, n_wps, known, unknown):
+            return tracking.step(cfg, spec, state, wps, n_wps, known, unknown)
+
+        self._step_jit = jax.jit(fn)
+
+    def control_step(self) -> int:
+        """One control step; returns the reference's code contract
+        (tracking.py:559-567)."""
+        jnp = self._jnp
+        self._ensure_jit()
+        known = pad_obstacles(jnp.asarray(self.obs), MAX_KNOWN_OBS)
+        unknown = pad_obstacles(jnp.asarray(self.unknown_obs), MAX_UNKNOWN_OBS)
+        wps = jnp.asarray(
+            np.vstack([self.waypoints[:, :2],
+                       np.zeros((MAX_WAYPOINTS - len(self.waypoints), 2))])
+            if len(self.waypoints) < MAX_WAYPOINTS
+            else self.waypoints[:MAX_WAYPOINTS, :2],
+            dtype=jnp.float32,
+        )
+        out = self._step_jit(
+            self.state, wps, jnp.asarray(len(self.waypoints)), known, unknown
+        )
+        self.state = out.state
+        self.u_pos = np.asarray(out.u)
+        ret = int(out.ret)
+        if ret == tracking.RET_INFEASIBLE and self.raise_error:
+            raise InfeasibleError("Infeasible or collision detected !!")
+        return ret
+
+    def get_control_input(self):
+        return self.u_pos.reshape(-1, 1)
+
+    @property
+    def robot_state(self):
+        return np.asarray(self.state.x)
+
+    def has_reached_goal(self) -> bool:
+        return int(self.state.goal_idx) >= len(self.waypoints)
+
+    def run_all_steps(self, tf=30, write_csv: bool = False) -> int:
+        """Mirror of tracking.py:711-752 (CSV logging included)."""
+        unexpected_beh = 0
+        writer = None
+        csvfile = None
+        if write_csv:
+            import csv
+
+            csvfile = open("output.csv", "w", newline="")
+            writer = csv.writer(csvfile)
+            writer.writerow(["states", "control_inputs", "alpha1", "alpha2"])
+        try:
+            for _ in range(int(tf / self.dt)):
+                ret = self.control_step()
+                unexpected_beh += ret
+                if writer is not None:
+                    writer.writerow(
+                        np.concatenate(
+                            [
+                                self.robot_state,
+                                self.u_pos,
+                                [float(self.spec.cbf_alpha1), float(self.spec.cbf_alpha2)],
+                            ]
+                        )
+                    )
+                if ret in (tracking.RET_DONE, tracking.RET_INFEASIBLE):
+                    break
+        finally:
+            if csvfile is not None:
+                csvfile.close()
+        return unexpected_beh

@@ -60,10 +60,18 @@ class MPCConfig(NamedTuple):
     num_obs: int = 5
     outer_iters: int = 12  # augmented-Lagrangian multiplier updates
     newton_iters: int = 4  # Gauss-Newton steps per outer iteration
-    rho0: float = 10.0  # initial AL penalty
+    rho0: float = 50.0  # initial AL penalty
     rho_growth: float = 1.6
+    rho_max: float = 2000.0  # cap: feasibility comes from multipliers, not
+    # from unbounded penalty (unbounded rho destroys f32 line-search merit)
     reg: float = 1e-6  # Levenberg damping
-    viol_tol: float = 1e-4
+    # Feasibility reporting threshold, scaled units.  Deliberately loose: it
+    # flags only *genuine* infeasibility (no control keeps the constraints),
+    # not solver slop at an active bound (~1e-4 raw).  Note the reference
+    # never reports MPC infeasibility at all — its status is hardcoded
+    # 'optimal' (mpc_cbf.py:10) — so scenario predicates only depend on this
+    # in our stricter-than-reference mode.
+    viol_tol: float = 0.05
 
 
 class MPCState(NamedTuple):
@@ -98,9 +106,11 @@ def _num_constraints(model, cfg: MPCConfig) -> int:
 def _bounded_mask(model):
     import numpy as np
 
-    lb, ub = model.state_bounds(_DUMMY_SPEC_CACHE.setdefault(
-        model, spec_mod.make_spec(_model_name_of(model))))
-    return np.isfinite(np.asarray(lb)) | np.isfinite(np.asarray(ub))
+    # Static structure query; must stay concrete even inside a jit trace.
+    with jax.ensure_compile_time_eval():
+        lb, ub = model.state_bounds(_DUMMY_SPEC_CACHE.setdefault(
+            model, spec_mod.make_spec(_model_name_of(model))))
+        return np.isfinite(np.asarray(lb)) | np.isfinite(np.asarray(ub))
 
 
 _DUMMY_SPEC_CACHE: dict = {}
@@ -176,51 +186,92 @@ def solve(
             cons.append(xs[:, i] - lb_x[i])  # lower
         return jnp.concatenate(cons)
 
-    def al_value_grad(U_flat, lam, rho):
-        def L(Uf):
-            U = Uf.reshape(N, m)
-            r = residual(U)
-            c = constraints(U)
-            # AL for c >= 0:  (1/(2rho)) * (max(0, lam - rho c)^2 - lam^2)
-            act = jnp.maximum(0.0, lam - rho * c)
-            return r @ r + (act @ act - lam @ lam) / (2.0 * rho)
-
-        return jax.value_and_grad(L)(U_flat)
-
-    def gn_hessian(U_flat, lam, rho):
-        U = U_flat.reshape(N, m)
-        Jr = jax.jacfwd(lambda Uf: residual(Uf.reshape(N, m)))(U_flat)
-        c = constraints(U)
-        Jc = jax.jacfwd(lambda Uf: constraints(Uf.reshape(N, m)))(U_flat)
-        act = (lam - rho * c) > 0.0
-        H = 2.0 * Jr.T @ Jr + rho * (Jc.T * act[None, :].astype(dtype)) @ Jc
-        return H
-
     lb_flat = jnp.tile(lb_u, N)
     ub_flat = jnp.tile(ub_u, N)
 
     # Scan-based warm start: shift previous U by one stage (standard MPC).
+    # Multipliers are NOT warm-started: they are per-stage/per-constraint and
+    # a one-step shift changes the active set, which poisons the AL far more
+    # than a cold lambda costs (observed closed-loop stalls).
     U0 = jnp.concatenate([mpc_state.U[1:], mpc_state.U[-1:]], axis=0)
     U0 = jnp.clip(U0, lb_u[None, :], ub_u[None, :])
     Uf = U0.ravel()
-    lam = mpc_state.lam
+    lam = jnp.zeros_like(mpc_state.lam)
+
+    # Constraint row scaling: dt-CBF rows have O(dt^2)-scale gradients (the
+    # second difference of h), so raw feasibility tolerances translate into
+    # huge control deviations.  Normalizing each row by its gradient norm at
+    # the warm start (the same idea as the reference's h/dt "hard"-mode
+    # scaling, cbf_qp.py:137-143) makes the AL tolerances control-relevant.
+    Jc0 = jax.jacfwd(lambda Ufl: constraints(Ufl.reshape(N, m)))(Uf)
+    c_scale = 1.0 / jnp.maximum(jnp.linalg.norm(Jc0, axis=1), 1e-2)
+
+    def al_terms(U_flat, lam, rho):
+        """Residual vector and AL activation vector at a point.
+
+        AL for c >= 0:  L = r'r + (act'act - lam'lam)/(2 rho),
+        act = max(0, lam - rho c).
+        """
+        U = U_flat.reshape(N, m)
+        r = residual(U)
+        c = constraints(U) * c_scale
+        act = jnp.maximum(0.0, lam - rho * c)
+        return r, act
+
+    def al_grad_hess(U_flat, lam, rho):
+        """AL gradient and Gauss-Newton Hessian from forward-mode Jacobians.
+
+        No reverse-mode AD anywhere in the solver:  with 16-24 decision
+        variables, jacfwd of the residual/constraint stacks is both cheaper
+        and MUCH friendlier to the TPU compiler than jax.grad through the
+        rollout scan (reverse AD of the scan was a multi-minute compile).
+        Closed forms:  grad = 2 Jr'r - Jc'act,  H = 2 Jr'Jr + rho Jc_a'Jc_a.
+        """
+        r, act = al_terms(U_flat, lam, rho)
+        Jr = jax.jacfwd(lambda Uf_: residual(Uf_.reshape(N, m)))(U_flat)
+        Jc = jax.jacfwd(
+            lambda Uf_: constraints(Uf_.reshape(N, m)) * c_scale
+        )(U_flat)
+        grad = 2.0 * (Jr.T @ r) - Jc.T @ act
+        active = (act > 0.0).astype(dtype)
+        Jca = Jc * active[:, None]
+        H = 2.0 * (Jr.T @ Jr) + rho * (Jca.T @ Jca)
+        return grad, H
 
     alphas = jnp.array([1.0, 0.5, 0.25, 0.1, 0.03, 0.0], dtype=dtype)
 
     def newton_step(Uf, lam, rho):
-        val, grad = al_value_grad(Uf, lam, rho)
-        H = gn_hessian(Uf, lam, rho)
+        grad, H = al_grad_hess(Uf, lam, rho)
         H = H + cfg.reg * jnp.eye(N * m, dtype=dtype) * (1.0 + jnp.trace(H) / (N * m))
+        # Projected Newton (Bertsekas): freeze variables sitting at an active
+        # box bound with the gradient pushing outward, otherwise the clipped
+        # step bends into an ascent direction and the line search stalls.
+        eps_b = 1e-7
+        at_lb = (Uf <= lb_flat + eps_b) & (grad > 0.0)
+        at_ub = (Uf >= ub_flat - eps_b) & (grad < 0.0)
+        free = jnp.logical_not(at_lb | at_ub).astype(dtype)
+        Hf = free[:, None] * H * free[None, :] + jnp.diag(1.0 - free)
+        gf = free * grad
         step = -jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(H, lower=True), grad
+            jax.scipy.linalg.cho_factor(Hf, lower=True), gf
         )
 
-        def merit(a):
-            cand = jnp.clip(Uf + a * step, lb_flat, ub_flat)
-            v, _ = al_value_grad(cand, lam, rho)
-            return v
+        # Line search on the *difference* of merits, computed cancellation-
+        # free:  L(a) - L(0) = (r_a - r_0)·(r_a + r_0)
+        #                     + [(act_a - act_0)·(act_a + act_0)] / (2 rho).
+        # A naive L(a) comparison drowns O(1e-5) constraint-penalty changes
+        # under an O(1e4) cost in f32 (goal 10 m away, Q=50), which silently
+        # disabled constraint enforcement in closed loop.
+        r0, act0 = al_terms(Uf, lam, rho)
 
-        vals = jax.vmap(merit)(alphas)
+        def merit_delta(a):
+            cand = jnp.clip(Uf + a * step, lb_flat, ub_flat)
+            r_a, act_a = al_terms(cand, lam, rho)
+            d_cost = (r_a - r0) @ (r_a + r0)
+            d_pen = ((act_a - act0) @ (act_a + act0)) / (2.0 * rho)
+            return d_cost + d_pen
+
+        vals = jax.vmap(merit_delta)(alphas)
         vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
         best = jnp.argmin(vals)
         return jnp.clip(Uf + alphas[best] * step, lb_flat, ub_flat)
@@ -230,9 +281,9 @@ def solve(
         Uf = jax.lax.fori_loop(
             0, cfg.newton_iters, lambda _, u: newton_step(u, lam, rho), Uf
         )
-        c = constraints(Uf.reshape(N, m))
+        c = constraints(Uf.reshape(N, m)) * c_scale
         lam = jnp.maximum(0.0, lam - rho * c)
-        rho = rho * cfg.rho_growth
+        rho = jnp.minimum(rho * cfg.rho_growth, cfg.rho_max)
         return (Uf, lam, rho)
 
     Uf, lam, _ = jax.lax.fori_loop(
@@ -240,7 +291,8 @@ def solve(
     )
 
     U = Uf.reshape(N, m)
-    c = constraints(U)
+    # Report violation in *scaled* (control-relevant) units.
+    c = constraints(U) * c_scale
     viol = jnp.maximum(0.0, -jnp.min(c))
     xs = jnp.concatenate([x0[None, :], rollout(U)], axis=0)
     return MPCResult(
