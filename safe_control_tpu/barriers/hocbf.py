@@ -93,6 +93,23 @@ def ct_cbf_row(model: ModuleType, model_name: str, x, obs, spec, dt, mode="cbf")
     return a_row, b
 
 
+def ct_cbf_rows_multi(model: ModuleType, x, obs, spec):
+    """Multi-row r=1 CBF constraint block for one obstacle.
+
+    For models exposing ``ct_multi_h(x, obs, spec) -> (C,)`` (Manipulator2D's
+    per-link sampled circles, manipulator2D.py:186-224): each component h_j
+    yields a row A_j = grad h_j . g, b_j = grad h_j . f + alpha h_j.
+    """
+    h_fn = lambda xx: model.ct_multi_h(xx, obs, spec)
+    h = h_fn(x)
+    Jh = jax.jacfwd(h_fn)(x)  # (C, n)
+    f_x = model.f(x, spec)
+    g_x = model.g(x, spec)
+    a_rows = Jh @ g_x
+    b = Jh @ f_x + spec.cbf_alpha * h
+    return a_rows, b
+
+
 def dt_hocbf_value(model: ModuleType, model_name: str, x, u, obs, spec, dt):
     """Discrete-time HOCBF constraint value (>= 0 required).
 

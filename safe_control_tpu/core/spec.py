@@ -75,6 +75,32 @@ class RobotSpec:
     u_max: float = 10.0
     mass: float = 1.0
     inertia: float = 0.01
+    ix: float = 0.5
+    iy: float = 0.5
+    iz: float = 0.5
+    arm_length: float = 0.3
+    nu_torque: float = 0.1
+
+    # VTOL2D aerodynamics (vtol2D.py:59-111)
+    s_wing: float = 0.55
+    rho_air: float = 1.2682
+    c_l0: float = 0.23
+    c_lalpha: float = 5.61
+    m_blend: float = 50.0
+    alpha_0: float = math.radians(15.0)
+    c_ldelta_e: float = 0.13
+    c_d0: float = 0.043
+    c_dalpha: float = 0.03
+    c_ddelta_e: float = 0.0
+    c_m0: float = 0.0135
+    c_malpha: float = -2.74
+    c_mdelta_e: float = -0.99
+    chord: float = 0.18994
+    k_front: float = 70.0
+    k_rear: float = 70.0
+    k_pusher: float = 60.0
+    ell_f: float = 0.5
+    ell_r: float = 0.5
     throttle_min: float = 0.0
     throttle_max: float = 1.0
     elevator_min: float = -0.5
@@ -82,9 +108,29 @@ class RobotSpec:
     descent_speed_max: float = 2.0
     pitch_max: float = 30.0  # degrees (VTOL), matches reference spec units
 
-    # Manipulator2D
-    link_lengths: float = 1.5
-    kp: float = 5.0
+    # Manipulator2D (manipulator2D.py:16-25)
+    link_len_1: float = 80.0 / 60.0
+    link_len_2: float = 70.0 / 60.0
+    link_len_3: float = 50.0 / 60.0
+    base_x: float = 0.0
+    base_y: float = 0.0
+    kp: float = 3.0
+    manip_beta: float = 1.3
+
+    # DynamicBicycle2D / DriftingCar (dynamic_bicycle2D.py:52-88)
+    a_cg: float = 1.6  # front axle to CG [m]
+    b_cg: float = 0.8  # rear axle to CG [m]
+    izz: float = 2500.0  # yaw inertia [kg m^2]
+    cc_f: float = 80000.0  # front cornering stiffness [N/rad]
+    cc_r: float = 120000.0  # rear cornering stiffness [N/rad]
+    mu: float = 1.0  # friction coefficient (runtime-mutable leaf)
+    r_w: float = 0.3  # wheel radius [m]
+    gamma_stab: float = 0.99
+    delta_dot_max: float = math.radians(60.0)
+    tau_max: float = 5000.0
+    tau_dot_max: float = 10000.0
+    r_max: float = 2.0  # yaw-rate bound [rad/s]
+    body_length: float = 4.3
 
     # Nominal-controller gains (robot_spec overrides in the reference, e.g.
     # dynamic_unicycle2D.py:84-86)
@@ -150,13 +196,36 @@ _MODEL_DEFAULTS: Dict[str, Dict[str, float]] = {
         f_min=3.0, f_max=10.0, mass=1.0, inertia=0.01,
         cbf_alpha1=1.5, cbf_alpha2=1.5, mpc_cbf_alpha1=0.15, mpc_cbf_alpha2=0.15,
     ),
-    QUAD_3D: dict(u_min=0.0, u_max=10.0, cbf_alpha=1.5, mpc_cbf_alpha=0.15),
+    QUAD_3D: dict(
+        u_min=-10.0, u_max=10.0, mass=3.0, ix=0.5, iy=0.5, iz=0.5,
+        arm_length=0.3, nu_torque=0.1, cbf_alpha=1.5, mpc_cbf_alpha=0.15,
+    ),
     VTOL_2D: dict(
-        v_max=20.0, pitch_max=30.0, descent_speed_max=2.0,
+        mass=11.0, inertia=1.135, v_max=15.0, pitch_max=15.0,
+        descent_speed_max=5.0, throttle_min=0.0, throttle_max=1.0,
+        elevator_min=-0.5, elevator_max=0.5,
         cbf_alpha1=1.5, cbf_alpha2=1.5, mpc_cbf_alpha1=0.05, mpc_cbf_alpha2=0.05,
         reached_threshold=3.0,
     ),
-    MANIPULATOR_2D: dict(w_max=2.0, kp=5.0, cbf_alpha=1.0),
+    MANIPULATOR_2D: dict(w_max=2.0, kp=3.0, cbf_alpha=1.0),
+    DYNAMIC_BICYCLE_2D: dict(
+        mass=1500.0, izz=2500.0, a_cg=1.6, b_cg=0.8, wheel_base=2.4,
+        cc_f=80000.0, cc_r=120000.0, mu=1.0, r_w=0.3, gamma_stab=0.99,
+        delta_max=math.radians(35.0), delta_dot_max=math.radians(60.0),
+        tau_max=5000.0, tau_dot_max=10000.0,
+        v_max=30.0, v_min=0.5, r_max=2.0, beta_max=math.radians(60.0),
+        body_length=4.3, body_width=1.8, front_ax_dist=1.6, rear_ax_dist=0.8,
+        radius=1.2,
+    ),
+    DRIFTING_CAR: dict(
+        mass=1500.0, izz=2500.0, a_cg=1.6, b_cg=0.8, wheel_base=2.4,
+        cc_f=80000.0, cc_r=120000.0, mu=1.0, r_w=0.3, gamma_stab=0.99,
+        delta_max=math.radians(35.0), delta_dot_max=math.radians(60.0),
+        tau_max=5000.0, tau_dot_max=10000.0,
+        v_max=30.0, v_min=0.5, r_max=2.0, beta_max=math.radians(60.0),
+        body_length=4.3, body_width=1.8, front_ax_dist=1.6, rear_ax_dist=0.8,
+        radius=1.2,
+    ),
 }
 
 

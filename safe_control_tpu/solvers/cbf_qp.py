@@ -47,11 +47,23 @@ def solve(
     model = get_model(model_name)
     m = model.N_CONTROLS
 
-    a_rows, b_vals = jax.vmap(
-        lambda o: ct_cbf_row(model, model_name, x, o, spec, dt, mode)
-    )(obs)
+    if hasattr(model, "ct_multi_h"):
+        # Multi-row models (Manipulator2D link circles): C rows per obstacle,
+        # mirroring cbf_qp.py:131-149's expansion.
+        from safe_control_tpu.barriers.hocbf import ct_cbf_rows_multi
+
+        a_blocks, b_blocks = jax.vmap(
+            lambda o: ct_cbf_rows_multi(model, x, o, spec)
+        )(obs)  # (K, C, m), (K, C)
+        dummy = jnp.repeat(is_dummy(obs), a_blocks.shape[1])
+        a_rows = a_blocks.reshape(-1, m)
+        b_vals = b_blocks.reshape(-1)
+    else:
+        a_rows, b_vals = jax.vmap(
+            lambda o: ct_cbf_row(model, model_name, x, o, spec, dt, mode)
+        )(obs)
+        dummy = is_dummy(obs)
     # Inert rows for padded dummy obstacles: 0·u + 1 >= 0.
-    dummy = is_dummy(obs)
     a_rows = jnp.where(dummy[:, None], 0.0, a_rows)
     b_vals = jnp.where(dummy, 1.0, b_vals)
 
@@ -59,7 +71,7 @@ def solve(
     q = -2.0 * u_ref
     A = jnp.concatenate([a_rows, jnp.eye(m, dtype=x.dtype)], axis=0)
     l = jnp.concatenate([-b_vals, model.u_lb(spec)])
-    u_up = jnp.concatenate([jnp.full((obs.shape[0],), jnp.inf, dtype=x.dtype),
+    u_up = jnp.concatenate([jnp.full((a_rows.shape[0],), jnp.inf, dtype=x.dtype),
                             model.u_ub(spec)])
     sol = solve_qp(P, q, A, l, u_up, iters=iters)
 

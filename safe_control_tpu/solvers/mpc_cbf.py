@@ -27,6 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from safe_control_tpu.barriers.hocbf import dt_h as hocbf_dt_h
 from safe_control_tpu.barriers.hocbf import dt_hocbf_value
 from safe_control_tpu.core import spec as spec_mod
 from safe_control_tpu.dynamics import get_model
@@ -58,6 +59,13 @@ def mpc_weights(model_name: str):
 class MPCConfig(NamedTuple):
     horizon: int = 10
     num_obs: int = 5
+    # Optimal-decay variant (optimal_decay_mpc_cbf.py): per-stage decay
+    # multipliers omega1, omega2 appended as extra inputs with soft penalty
+    # p_sb toward omega_ref (:89-92, :175-178); CBF row becomes
+    # dd_h + (a1 w1 + a2 w2) d_h + a1 a2 w1 w2 h_k >= 0 (:282-300).
+    optimal_decay: bool = False
+    p_sb: float = 10.0
+    omega_ref: float = 1.0
     outer_iters: int = 12  # augmented-Lagrangian multiplier updates
     newton_iters: int = 4  # Gauss-Newton steps per outer iteration
     rho0: float = 50.0  # initial AL penalty
@@ -92,10 +100,11 @@ class MPCResult(NamedTuple):
 def init_state(model_name: str, cfg: MPCConfig, dtype=jnp.float32) -> MPCState:
     model = get_model(model_name)
     n_con = _num_constraints(model, cfg)
-    return MPCState(
-        U=jnp.zeros((cfg.horizon, model.N_CONTROLS), dtype=dtype),
-        lam=jnp.zeros((n_con,), dtype=dtype),
-    )
+    m_aug = model.N_CONTROLS + (2 if cfg.optimal_decay else 0)
+    U = jnp.zeros((cfg.horizon, m_aug), dtype=dtype)
+    if cfg.optimal_decay:
+        U = U.at[:, model.N_CONTROLS:].set(cfg.omega_ref)
+    return MPCState(U=U, lam=jnp.zeros((n_con,), dtype=dtype))
 
 
 def _num_constraints(model, cfg: MPCConfig) -> int:
@@ -142,12 +151,18 @@ def solve(
     ``obs`` is the fixed-shape (num_obs, 7) padded obstacle array.
     """
     model = get_model(model_name)
-    N, m, n = cfg.horizon, model.N_CONTROLS, model.N_STATES
+    N, n = cfg.horizon, model.N_STATES
+    m_ctrl = model.N_CONTROLS  # true control width (closures slice with this)
+    m = m_ctrl + 2 if cfg.optimal_decay else m_ctrl  # decision width
     dtype = x0.dtype
     Qd, Rd = mpc_weights(model_name)
     Qs = jnp.sqrt(Qd).astype(dtype)
     Rs = jnp.sqrt(Rd).astype(dtype)
     lb_u, ub_u = model.u_lb(spec), model.u_ub(spec)
+    if cfg.optimal_decay:
+        # omegas softly pinned to omega_ref; box keeps them sane.
+        lb_u = jnp.concatenate([lb_u, jnp.array([0.0, 0.0])])
+        ub_u = jnp.concatenate([ub_u, jnp.array([10.0, 10.0])])
     lb_x, ub_x = model.state_bounds(spec)
 
     import numpy as np
@@ -157,7 +172,7 @@ def solve(
 
     def rollout(U):
         def step_fn(x, u):
-            x1 = model.step(x, u, spec, dt)
+            x1 = model.step(x, u[:m_ctrl], spec, dt)
             return x1, x1
 
         _, xs = jax.lax.scan(step_fn, x0, U)
@@ -166,9 +181,31 @@ def solve(
     def residual(U):
         xs = rollout(U)
         state_res = (xs - goal[None, :]) * Qs[None, :]
-        du = jnp.diff(jnp.concatenate([u_prev[None, :], U], axis=0), axis=0)
+        du = jnp.diff(jnp.concatenate([u_prev[None, :], U[:, :m_ctrl]], axis=0), axis=0)
         input_res = du * Rs[None, :]
-        return jnp.concatenate([state_res.ravel(), input_res.ravel()])
+        parts = [state_res.ravel(), input_res.ravel()]
+        if cfg.optimal_decay:
+            om_res = (U[:, m_ctrl:] - cfg.omega_ref) * jnp.sqrt(cfg.p_sb)
+            parts.append(om_res.ravel())
+        return jnp.concatenate(parts)
+
+    def _stage_cbf(xk, uk, o):
+        if not cfg.optimal_decay:
+            return dt_hocbf_value(model, model_name, xk, uk[:m_ctrl], o, spec, dt)
+        # optimal-decay CBF row (optimal_decay_mpc_cbf.py:282-300)
+        w1, w2 = uk[m_ctrl], uk[m_ctrl + 1]
+        h_fn = lambda xx: hocbf_dt_h(model, model_name, xx, o, spec)
+        h_k = h_fn(xk)
+        x1 = model.step(xk, uk[:m_ctrl], spec, dt)
+        h_k1 = h_fn(x1)
+        if model.REL_DEG == 1:
+            return (h_k1 - h_k) + spec.mpc_cbf_alpha * h_k * w1
+        x2 = model.step(x1, uk[:m_ctrl], spec, dt)
+        h_k2 = h_fn(x2)
+        d_h = h_k1 - h_k
+        dd_h = h_k2 - 2.0 * h_k1 + h_k
+        a1, a2 = spec.mpc_cbf_alpha1, spec.mpc_cbf_alpha2
+        return dd_h + (a1 * w1 + a2 * w2) * d_h + a1 * a2 * w1 * w2 * h_k
 
     def constraints(U):
         """All inequality constraints c(U) >= 0, fixed shape."""
@@ -176,9 +213,7 @@ def solve(
         xs_full = jnp.concatenate([x0[None, :], xs], axis=0)  # (N+1, n)
         # CBF at stages k=0..N-1 with (x_k, u_k) per obstacle.
         cbf = jax.vmap(
-            lambda xk, uk: jax.vmap(
-                lambda o: dt_hocbf_value(model, model_name, xk, uk, o, spec, dt)
-            )(obs)
+            lambda xk, uk: jax.vmap(lambda o: _stage_cbf(xk, uk, o))(obs)
         )(xs_full[:N], U)  # (N, K)
         cons = [cbf.ravel()]
         for i in bounded_idx:
@@ -296,7 +331,7 @@ def solve(
     viol = jnp.maximum(0.0, -jnp.min(c))
     xs = jnp.concatenate([x0[None, :], rollout(U)], axis=0)
     return MPCResult(
-        u=U[0],
+        u=U[0, :m_ctrl],
         state=MPCState(U=U, lam=lam),
         xs=xs,
         feasible=viol <= cfg.viol_tol,
