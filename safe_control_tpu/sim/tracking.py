@@ -72,7 +72,7 @@ class TrackerConfig:
     enable_rotation: bool = True
     use_sensor: bool = False  # 'sensor': 'rgbd' analog
     mpc: mpc_mod.MPCConfig = mpc_mod.MPCConfig()
-    qp_iters: int = 150
+    qp_iters: int = 1600
 
 
 class TrackerState(NamedTuple):
@@ -382,3 +382,48 @@ def run(
 
     final, traj = jax.lax.scan(body, state, None, length=n_steps)
     return final, traj
+
+
+def step_dynamic_obstacles(obs, dt, x_range=None, y_range=None):
+    """Advance constant-velocity dynamic obstacles one step.
+
+    Mirrors dynamic_env/main.py:54-58 (``obs[:, 0:2] += obs[:, 3:5] * dt``),
+    plus the demo's wall-bounce behavior (dynamic_env/main.py:238-366) when
+    ``x_range``/``y_range`` are given: velocity components flip when the
+    obstacle center leaves the workspace.
+    """
+    obs = obs.at[:, 0:2].add(obs[:, 3:5] * dt)
+    if x_range is not None:
+        flip_x = (obs[:, 0] < x_range[0]) | (obs[:, 0] > x_range[1])
+        obs = obs.at[:, 3].multiply(jnp.where(flip_x, -1.0, 1.0))
+    if y_range is not None:
+        flip_y = (obs[:, 1] < y_range[0]) | (obs[:, 1] > y_range[1])
+        obs = obs.at[:, 4].multiply(jnp.where(flip_y, -1.0, 1.0))
+    return obs
+
+
+def run_dynamic(
+    cfg: TrackerConfig,
+    spec,
+    state: TrackerState,
+    waypoints,
+    n_waypoints,
+    moving_obs,
+    n_steps: int,
+    x_range=None,
+    y_range=None,
+):
+    """Dynamic-environment run loop (dynamic_env/main.py LocalTrackingControllerDyn):
+    obstacles advance by their velocities every step (with optional bouncing)
+    and are fed to the controller as the known set."""
+
+    def body(carry, _):
+        st, obs = carry
+        out = step(cfg, spec, st, waypoints, n_waypoints, obs)
+        obs = step_dynamic_obstacles(obs, cfg.dt, x_range, y_range)
+        return (out.state, obs), dict(x=out.state.x, u=out.u, ret=out.ret)
+
+    (final, obs_final), traj = jax.lax.scan(
+        body, (state, moving_obs), None, length=n_steps
+    )
+    return final, obs_final, traj

@@ -41,7 +41,7 @@ def solve(
     obs,
     dt: float,
     mode: str = "cbf",
-    iters: int = 150,
+    iters: int = 1600,
 ) -> CBFQPResult:
     """Solve one CBF-QP. ``obs`` is a fixed-shape (K, 7) padded array."""
     model = get_model(model_name)

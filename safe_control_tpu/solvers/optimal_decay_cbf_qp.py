@@ -43,7 +43,7 @@ class ODCBFResult(NamedTuple):
     feasible: jnp.ndarray
 
 
-def solve(model_name: str, spec, x, u_ref, nearest_obs, dt, iters: int = 150):
+def solve(model_name: str, spec, x, u_ref, nearest_obs, dt, iters: int = 1600):
     """One optimal-decay CBF-QP solve for the nearest obstacle (7-vector)."""
     model = get_model(model_name)
     m = model.N_CONTROLS

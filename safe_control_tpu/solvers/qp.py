@@ -41,7 +41,7 @@ def solve_qp(
     A,
     l,
     u,
-    iters: int = 100,
+    iters: int = 400,
     rho: float = 1.0,
     sigma: float = 1e-6,
     alpha: float = 1.6,
@@ -59,7 +59,11 @@ def solve_qp(
     m = A.shape[0]
     dtype = q.dtype
 
-    # --- row equilibration -------------------------------------------------
+    # --- row + column equilibration ---------------------------------------
+    # Row scaling alone is not enough: CBF rows can be 100:1 anisotropic in
+    # the variables (e.g. slip-angle vs accel columns of the C3BF rows),
+    # which stalls ADMM.  One Ruiz-like pass on both sides fixes it.
+    A_orig, P_orig, q_orig = A, P, q
     row_norm = jnp.linalg.norm(A, axis=1)
     d = 1.0 / jnp.maximum(row_norm, 1e-6)
     # Rows that are entirely zero (padded constraints) get d=1 and +/-inf-safe
@@ -67,40 +71,71 @@ def solve_qp(
     As = A * d[:, None]
     ls = jnp.where(jnp.isfinite(l), l * d, l)
     us = jnp.where(jnp.isfinite(u), u * d, u)
+    col_norm = jnp.linalg.norm(As, axis=0)
+    e = 1.0 / jnp.sqrt(jnp.maximum(col_norm, 1e-6))
+    As = As * e[None, :]
+    P = e[:, None] * P * e[None, :]
+    q = q * e
+    # From here the primal variable is x' with x = e * x'.
 
-    # --- KKT factorization -------------------------------------------------
-    K = P + sigma * jnp.eye(n, dtype=dtype) + rho * (As.T @ As)
-    chol = jax.scipy.linalg.cho_factor(K, lower=True)
+    # --- staged ADMM with adaptive rho ------------------------------------
+    # OSQP-style: between stages, rho is rescaled by sqrt(prim/dual residual
+    # ratio) and the small KKT matrix is refactorized.  A fixed rho stalls on
+    # problems whose active geometry is ill-matched to it (observed: a
+    # feasible 8-row CBF-QP needing 1000 iters at rho=1 vs 400 at rho=10).
+    n_stages = 8
+    per_stage = max(iters // n_stages, 1)
+    AtA = As.T @ As
+    eyeN = jnp.eye(n, dtype=dtype)
 
-    def body(_, carry):
-        x, z, y = carry
-        rhs = sigma * x - q + As.T @ (rho * z - y)
-        x_t = jax.scipy.linalg.cho_solve(chol, rhs)
-        z_t = As @ x_t
-        x_new = alpha * x_t + (1.0 - alpha) * x
-        z_hat = alpha * z_t + (1.0 - alpha) * z
-        z_new = jnp.clip(z_hat + y / rho, ls, us)
-        y_new = y + rho * (z_hat - z_new)
-        return (x_new, z_new, y_new)
+    def stage(carry, _):
+        x, z, y, rho_c = carry
+        K = P + sigma * eyeN + rho_c * AtA
+        chol = jax.scipy.linalg.cho_factor(K, lower=True)
+
+        def body(_, inner):
+            x, z, y = inner
+            rhs = sigma * x - q + As.T @ (rho_c * z - y)
+            x_t = jax.scipy.linalg.cho_solve(chol, rhs)
+            z_t = As @ x_t
+            x_new = alpha * x_t + (1.0 - alpha) * x
+            z_hat = alpha * z_t + (1.0 - alpha) * z
+            z_new = jnp.clip(z_hat + y / rho_c, ls, us)
+            y_new = y + rho_c * (z_hat - z_new)
+            return (x_new, z_new, y_new)
+
+        x, z, y = jax.lax.fori_loop(0, per_stage, body, (x, z, y))
+        r_prim = jnp.max(jnp.abs(As @ x - z))
+        r_dual = jnp.max(jnp.abs(P @ x + q + As.T @ y))
+        scale_num = jnp.maximum(r_prim, 1e-12)
+        scale_den = jnp.maximum(r_dual, 1e-12)
+        rho_new = jnp.clip(
+            rho_c * jnp.sqrt(scale_num / scale_den), rho_c * 0.1, rho_c * 10.0
+        )
+        rho_new = jnp.clip(rho_new, 1e-4, 1e5)
+        return (x, z, y, rho_new), None
 
     x0 = jnp.zeros(n, dtype=dtype)
     z0 = jnp.zeros(m, dtype=dtype)
     y0 = jnp.zeros(m, dtype=dtype)
-    x, z, y = jax.lax.fori_loop(0, iters, body, (x0, z0, y0))
+    (x, z, y, _), _ = jax.lax.scan(
+        stage, (x0, z0, y0, jnp.asarray(rho, dtype)), None, length=n_stages
+    )
 
     if polish:
         x, y = _polish(P, q, As, ls, us, x, y, polish_reg, act_tol)
 
-    # Unscale duals: constraint i was scaled by d_i, so y_orig = d_i * y_s.
+    # Unscale primal (x = e x') and duals (y_orig = d_i * y_s).
+    x = e * x
     y_orig = y * d
 
-    Ax = A @ x
+    Ax = A_orig @ x
     prim_res = jnp.maximum(
         jnp.max(jnp.where(jnp.isfinite(l), l - Ax, -jnp.inf)),
         jnp.max(jnp.where(jnp.isfinite(u), Ax - u, -jnp.inf)),
     )
     prim_res = jnp.maximum(prim_res, 0.0)
-    dual_res = jnp.max(jnp.abs(P @ x + q + A.T @ y_orig))
+    dual_res = jnp.max(jnp.abs(P_orig @ x + q_orig + A_orig.T @ y_orig))
     return QPSolution(x=x, y=y_orig, prim_res=prim_res, dual_res=dual_res)
 
 
