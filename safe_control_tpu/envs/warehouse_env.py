@@ -1,0 +1,153 @@
+"""Warehouse environment: 100x100 grid world, static obstacles, "ghosts".
+
+TPU-native re-implementation of /root/reference/envs/warehouse_env.py: a
+4x4 grid of circular static obstacles (:31-41), leveled moving "ghost"
+obstacles that bounce off the walls (:60-266, :330), start (10,10) / goal
+(90,90) and the zig-zag nominal waypoint path (:333-343).  Ghost tables are
+reproduced for levels 0-5; the reference's level>=6 hand-shuffled variants
+(dozens of positional micro-adjustments, :235-266) are approximated by the
+level-5 base plus the documented density additions.
+
+All queries are pure jnp over fixed-shape arrays: ghosts are an (G, 5)
+array [x, y, vx, vy, radius] padded with radius 0.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+MAX_GHOSTS = 32
+GHOST_RADIUS = 2.0
+OBS_RADIUS = 7.0
+
+
+def _ghost_table(level) -> list:
+    s = str(level).lower()
+    lvl = 3 if s == "hero" else int(level)
+    g = []
+    add = lambda x, y, vx, vy: g.append([x, y, vx, vy, GHOST_RADIUS])
+    if lvl == 0:
+        pass
+    elif lvl == 1:  # (:91-96)
+        add(95, 50, -4.0, 0.0)
+        add(50, 5, 0.0, 4.0)
+        add(5, 70, 4.0, 0.0)
+    elif lvl == 2:  # (:99-106)
+        add(95, 50, -4.0, 0.0)
+        add(50, 5, 0.0, 4.0)
+        add(5, 70, 2.5, 0.0)
+        add(30, 95, 0.0, -4.0)
+        add(90, 90, -2.0, -2.0)
+    else:  # hero layouts (:131-166)
+        speed = {3: 2.5, 4: 3.0, 5: 3.0}.get(lvl, 3.5)
+        add(95, 50, -speed, 0.0)
+        add(50, 5, 0.0, speed)
+        add(5, 70, speed, 0.0)
+        add(30, 95, 0.0, -speed)
+        add(90, 90, -speed * 0.7, -speed * 0.7)
+        add(95, 10, -speed, 0.0)
+        add(5, 30, speed, 0.0)
+        add(95, 90, -speed, 0.0)
+        add(10, 95, 0.0, -speed)
+        add(70, 5, 0.0, speed)
+        if lvl >= 4:
+            s_slow = 1.5
+            add(20, 15, s_slow, 0.0)
+            add(80, 85, -s_slow, 0.0)
+            add(20, 80, speed, -speed)
+        if lvl >= 5:
+            add(80, 20, -speed, speed)
+            add(5, 40, speed * 0.8, 0.0)
+            add(95, 60, -speed * 0.8, 0.0)
+        # y=70 sweeper slow-down for feasibility (:168-172)
+        if lvl in (3, 4, 5):
+            tgt = 1.5 if lvl == 3 else 2.5
+            for row in g:
+                if abs(row[1] - 70.0) < 1e-6 and abs(row[3]) < 1e-9:
+                    row[2] = tgt if row[2] > 0 else -tgt
+    return g
+
+
+class WarehouseEnv:
+    def __init__(self, level=1, dt=0.05):
+        self.level = level
+        self.dt = dt
+        self.width = 100.0
+        self.height = 100.0
+        self.obs_radius = OBS_RADIUS
+        # 4x4 static grid (:31-35)
+        static = [[x, y, OBS_RADIUS] for x in (20, 40, 60, 80) for y in (20, 40, 60, 80)]
+        self.static_obstacles = np.array(static, dtype=float)
+        self.start_pos = np.array([10.0, 10.0])
+        self.goal_pos = np.array([90.0, 90.0])
+        self.goal_radius = 5.0
+        self.reset()
+
+    def reset(self):
+        rows = _ghost_table(self.level)
+        ghosts = np.zeros((MAX_GHOSTS, 5))
+        for i, r in enumerate(rows):
+            ghosts[i] = r
+        self._ghosts = ghosts
+
+    @property
+    def ghosts(self):
+        return jnp.asarray(self._ghosts, jnp.float32)
+
+    @property
+    def static_obs7(self):
+        """Static obstacles as reference 7-vectors for controller use."""
+        s = self.static_obstacles
+        return np.hstack([s, np.zeros((len(s), 4))])
+
+    def step(self):
+        """Advance ghosts with wall bouncing (:330 and onwards)."""
+        g = self._ghosts
+        g[:, 0] += g[:, 2] * self.dt
+        g[:, 1] += g[:, 3] * self.dt
+        flip_x = (g[:, 0] < 0) | (g[:, 0] > self.width)
+        flip_y = (g[:, 1] < 0) | (g[:, 1] > self.height)
+        g[flip_x, 2] *= -1
+        g[flip_y, 3] *= -1
+
+    def ghost_states(self, t=0.0):
+        """(G, 5) constant-velocity ghost prediction at time t (no bounce)."""
+        g = self.ghosts
+        return g.at[:, 0].add(g[:, 2] * t).at[:, 1].add(g[:, 3] * t)
+
+    def check_boundary_collision(self, position, robot_radius=0.0):
+        x, y = position[0], position[1]
+        return (
+            (x - robot_radius < 0)
+            | (x + robot_radius > self.width)
+            | (y - robot_radius < 0)
+            | (y + robot_radius > self.height)
+        )
+
+    def check_static_collision(self, position, robot_radius=0.0):
+        s = jnp.asarray(self.static_obstacles, jnp.float32)
+        d = jnp.sqrt((position[0] - s[:, 0]) ** 2 + (position[1] - s[:, 1]) ** 2)
+        return jnp.any(d < robot_radius + s[:, 2])
+
+    def check_ghost_collision(self, position, robot_radius=0.0, t=0.0):
+        g = self.ghost_states(t)
+        d = jnp.sqrt((position[0] - g[:, 0]) ** 2 + (position[1] - g[:, 1]) ** 2)
+        return jnp.any((d < robot_radius + g[:, 4]) & (g[:, 4] > 0))
+
+    def check_goal_reached(self, position):
+        return jnp.linalg.norm(position[:2] - jnp.asarray(self.goal_pos, jnp.float32)) < self.goal_radius
+
+    @staticmethod
+    def get_nominal_waypoints():
+        """Diagonal zig-zag path (:333-343)."""
+        return np.array(
+            [
+                (10, 10),
+                (30, 10), (30, 30),
+                (50, 30), (50, 50),
+                (70, 50), (70, 70),
+                (90, 70), (90, 90),
+            ],
+            dtype=float,
+        )
