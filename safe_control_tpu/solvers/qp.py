@@ -129,10 +129,14 @@ def solve_qp(
     x = e * x
     y_orig = y * d
 
+    # Residuals are reported in ROW-SCALED units: a row with norm 1e6 (e.g. a
+    # far superellipsoid CBF row) solved to f32 precision has raw residual
+    # ~1e-1 while being numerically exact — raw-unit feasibility tests would
+    # spuriously fail on it.
     Ax = A_orig @ x
     prim_res = jnp.maximum(
-        jnp.max(jnp.where(jnp.isfinite(l), l - Ax, -jnp.inf)),
-        jnp.max(jnp.where(jnp.isfinite(u), Ax - u, -jnp.inf)),
+        jnp.max(jnp.where(jnp.isfinite(l), (l - Ax) * d, -jnp.inf)),
+        jnp.max(jnp.where(jnp.isfinite(u), (Ax - u) * d, -jnp.inf)),
     )
     prim_res = jnp.maximum(prim_res, 0.0)
     dual_res = jnp.max(jnp.abs(P_orig @ x + q_orig + A_orig.T @ y_orig))
