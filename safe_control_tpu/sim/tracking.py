@@ -40,6 +40,7 @@ from safe_control_tpu.core.types import (
 )
 from safe_control_tpu.dynamics import get_model
 from safe_control_tpu.perception import fov as fov_mod
+from safe_control_tpu.perception import grid as grid_mod
 from safe_control_tpu.solvers import cbf_qp as cbf_qp_mod
 from safe_control_tpu.solvers import mpc_cbf as mpc_mod
 
@@ -73,6 +74,12 @@ class TrackerConfig:
     use_sensor: bool = False  # 'sensor': 'rgbd' analog
     mpc: mpc_mod.MPCConfig = mpc_mod.MPCConfig()
     qp_iters: int = 1600
+    # Occupancy-footprint visibility checking (tracking.py:652-668): when a
+    # GridSpec is given (and use_sensor), the footprint is updated every step
+    # and a visibility violation returns RET_VISIBILITY.
+    grid: object = None  # Optional[grid_mod.GridSpec]
+    visibility_mode: str = "safety_area"  # or 'point_mass'
+    max_decel: float = 1.0
 
 
 class TrackerState(NamedTuple):
@@ -84,6 +91,7 @@ class TrackerState(NamedTuple):
     mpc: mpc_mod.MPCState
     mem: fov_mod.ObsMemory
     ret: jnp.ndarray  # int32 last step return code
+    footprint: jnp.ndarray  # occupancy grid (1,1) placeholder when unused
 
 
 class StepOutput(NamedTuple):
@@ -131,6 +139,10 @@ def init_state(
             model.barrier_pos(x0), heading0, jnp.asarray(first_goal, dtype=dtype), spec
         )
         mode0 = jnp.where(in_fov, TRACK, STOP).astype(jnp.int32)
+    if cfg.grid is not None:
+        fp = grid_mod.init_footprint(cfg.grid, model.barrier_pos(x0), spec)
+    else:
+        fp = jnp.zeros((1, 1), dtype=bool)
     return TrackerState(
         x=x0,
         yaw=yaw0,
@@ -140,6 +152,7 @@ def init_state(
         mpc=mpc_mod.init_state(cfg.model_name, cfg.mpc, dtype=dtype),
         mem=fov_mod.init_memory(cfg.mem_slots, dtype=dtype),
         ret=jnp.asarray(RET_OK, dtype=jnp.int32),
+        footprint=fp,
     )
 
 
@@ -335,14 +348,44 @@ def step(
     if cfg.model_name not in _INTEGRATORS:
         yaw_next = x_next[2]
 
+    # ---- sensing footprint + visibility violation (tracking.py:652-668) ---
+    footprint = state.footprint
+    beyond = jnp.asarray(False)
+    if cfg.grid is not None and cfg.use_sensor:
+        footprint = grid_mod.update_footprint(
+            footprint, cfg.grid, pos_next, yaw_next, spec
+        )
+        if cfg.visibility_mode == "safety_area":
+            is_integrator = cfg.model_name in _INTEGRATORS
+            vel = x_next[2:4] if is_integrator else None
+            v_mag = jnp.linalg.norm(x_next[2:4]) if is_integrator else (
+                x_next[3] if model.N_STATES >= 4 else jnp.asarray(0.0, dtype)
+            )
+            yaw_rate = jnp.asarray(0.0, dtype)  # conservative straight tube
+            tube = grid_mod.safety_area_mask(
+                cfg.grid, pos_next, yaw_next, v_mag, yaw_rate, spec, cfg.dt,
+                max_decel=cfg.max_decel, integrator=is_integrator, vel=vel,
+            )
+            beyond = grid_mod.is_beyond_footprint(
+                footprint, cfg.grid, pos_next, safety_mask=tube
+            )
+        else:
+            beyond = grid_mod.is_beyond_footprint(footprint, cfg.grid, pos_next)
+
     ret = jnp.where(
         bad,
         RET_INFEASIBLE,
-        jnp.where(all_done & (mode != STOP), RET_DONE, RET_OK),
+        jnp.where(
+            all_done & (mode != STOP),
+            RET_DONE,
+            jnp.where(beyond, RET_VISIBILITY, RET_OK),
+        ),
     ).astype(jnp.int32)
 
     # Freeze the robot on terminal codes so scanned batches stay put.
-    frozen = state.ret != RET_OK
+    # Terminal codes are -1/-2; a visibility violation (+1) does NOT stop the
+    # run (the reference merely accumulates it, tracking.py:723-741).
+    frozen = state.ret < 0
     x_out = jnp.where(frozen, state.x, x_next)
     new_state = TrackerState(
         x=x_out,
@@ -357,6 +400,7 @@ def step(
             lambda a, b: jnp.where(frozen, a, b), state.mem, mem
         ),
         ret=jnp.where(frozen, state.ret, ret).astype(jnp.int32),
+        footprint=jnp.where(frozen, state.footprint, footprint),
     )
     return StepOutput(state=new_state, u=u, ret=new_state.ret, feasible=feasible, goal=wp)
 
