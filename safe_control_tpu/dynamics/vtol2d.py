@@ -33,11 +33,17 @@ def _body_velocity(xdot, zdot, theta):
 
 
 def _lift_blending(alpha, spec):
-    """Sigmoid-blended linear/flat-plate lift coefficient (:347-371)."""
+    """Sigmoid-blended linear/flat-plate lift coefficient (:347-371).
+
+    Exponents are clamped to +/-40: the reference's raw exp overflows to
+    inf (and then inf/inf = NaN) once |alpha| approaches pi/2, which happens
+    at near-zero airspeed (hover) — a latent bug its fast-flight demos never
+    hit.  The clamp leaves the blend bit-identical in the +/-0.8 rad range.
+    """
     cl_lin = spec.c_l0 + spec.c_lalpha * alpha
     cl_nl = 2.0 * jnp.sin(alpha) * jnp.cos(alpha)
-    t1 = jnp.exp(-spec.m_blend * (alpha - spec.alpha_0))
-    t2 = jnp.exp(spec.m_blend * (alpha + spec.alpha_0))
+    t1 = jnp.exp(jnp.clip(-spec.m_blend * (alpha - spec.alpha_0), -40.0, 40.0))
+    t2 = jnp.exp(jnp.clip(spec.m_blend * (alpha + spec.alpha_0), -40.0, 40.0))
     sigma = (1.0 + t1 + t2) / ((1.0 + t1) * (1.0 + t2))
     return (1.0 - sigma) * cl_lin + sigma * cl_nl
 

@@ -84,6 +84,60 @@ def is_in_fov(robot_pos, robot_yaw, point, spec, check_range: bool = False):
     return ok
 
 
+def detect_unknown_obs_ray(
+    robot_pos,
+    unknown_obs,
+    footprint,
+    gs,
+    obs_margin: float = 0.05,
+    n_boundary: int = 24,
+):
+    """Legacy 'ray' detection mode (utils/detection.py:90-132), grid-based.
+
+    The reference intersects each obstacle disc with the shapely sensing
+    footprint and fits a circle to the extreme points of the intersection.
+    Here: sample ``n_boundary`` points on each obstacle's (margin-shrunk)
+    boundary, keep those inside the occupancy footprint, and fit the
+    detected circle from the angular-extreme visible points — the same
+    extreme-point construction (detection.py:18-25).
+
+    Returns (obs (K, 7) fitted circles, detected_mask (K,)).
+    """
+    angles = jnp.linspace(0.0, 2.0 * jnp.pi, n_boundary, endpoint=False)
+
+    def in_fp(p):
+        ix = jnp.clip((p[0] / gs.resolution).astype(jnp.int32), 0, gs.nx - 1)
+        iy = jnp.clip((p[1] / gs.resolution).astype(jnp.int32), 0, gs.ny - 1)
+        return footprint[ix, iy]
+
+    def one(obs):
+        c = circularize(obs)
+        r_eff = jnp.maximum(c[OBS_R] - obs_margin, 1e-3)
+        pts = c[:2][None, :] + r_eff * jnp.stack(
+            [jnp.cos(angles), jnp.sin(angles)], axis=1
+        )
+        visible = jax.vmap(in_fp)(pts)
+        any_vis = jnp.any(visible) & ~is_dummy(obs)
+        # extreme points by bearing from the robot (detection.py:18-25)
+        to_pts = pts - robot_pos[None, :]
+        bearings = angle_normalize(
+            jnp.arctan2(to_pts[:, 1], to_pts[:, 0])
+            - jnp.arctan2(c[1] - robot_pos[1], c[0] - robot_pos[0])
+        )
+        b_masked_lo = jnp.where(visible, bearings, jnp.inf)
+        b_masked_hi = jnp.where(visible, bearings, -jnp.inf)
+        left = pts[jnp.argmin(b_masked_lo)]
+        right = pts[jnp.argmax(b_masked_hi)]
+        center = (left + right) / 2.0
+        radius = jnp.linalg.norm(right - left) / 2.0
+        fitted = jnp.array(
+            [center[0], center[1], radius, 0.0, 0.0, 0.0, 0.0], dtype=obs.dtype
+        )
+        return jnp.where(any_vis, fitted, obs), any_vis
+
+    return jax.vmap(one)(unknown_obs)
+
+
 class ObsMemory(NamedTuple):
     """Fixed-slot persistent memory of detected unknown obstacles."""
 

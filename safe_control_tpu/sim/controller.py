@@ -51,6 +51,8 @@ def spec_from_dict(robot_spec: Dict) -> spec_mod.RobotSpec:
     if "fov_angle" in robot_spec:
         # The reference stores fov_angle in degrees (robots/robot.py:53-54).
         overrides["fov_angle"] = math.radians(float(robot_spec["fov_angle"]))
+    if "Kp" in robot_spec:  # Manipulator gain key (manipulator2D.py:23)
+        overrides["kp"] = float(robot_spec["Kp"])
     return spec_mod.make_spec(model, **overrides)
 
 
@@ -142,11 +144,24 @@ class LocalTrackingController:
     # ------------------------------------------------------------------ API
     def set_waypoints(self, waypoints):
         wps = np.asarray(waypoints, dtype=float)
-        self.waypoints = wps
-        first_goal = wps[0][:2] if len(wps) else None
+        self.waypoints = self._filter_waypoints(wps)
+        first_goal = self.waypoints[0][:2] if len(self.waypoints) else None
         self.state = tracking.init_state(
             self.cfg, self.spec, self._x0, self._yaw0, first_goal=first_goal
         )
+
+    def _filter_waypoints(self, waypoints):
+        """Drop leading waypoints closer than reached_threshold
+        (tracking.py:240-262)."""
+        if len(waypoints) < 2:
+            return waypoints
+        model = get_model(self.model_name)
+        robot_pos = np.asarray(self._x0[:2])
+        aug = np.vstack([robot_pos, waypoints[:, :2]])
+        dists = np.linalg.norm(np.diff(aug, axis=0), axis=1)
+        mask = np.concatenate(([False], dists >= self.cfg.reached_threshold))
+        out = aug[mask]
+        return out if len(out) else waypoints[-1:, :2]
 
     def set_unknown_obs(self, unknown_obs):
         uo = np.asarray(unknown_obs, dtype=float)

@@ -115,3 +115,24 @@ def test_braking_arc_curves():
     # decelerating: consecutive step lengths shrink
     seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
     assert seg[0] > seg[15]
+
+
+def test_ray_detection_mode():
+    """Legacy 'ray' detection (utils/detection.py:90-132 analog): only
+    obstacles overlapping the sensing footprint are detected, with a circle
+    fitted to the visible extreme points."""
+    gs = grid_mod.GridSpec(width=10.0, height=10.0, resolution=0.1)
+    pos = jnp.array([5.0, 5.0])
+    fp = grid_mod.init_footprint(gs, pos, SPEC)
+    fp = grid_mod.update_footprint(fp, gs, pos, 0.0, SPEC)  # cone toward +x
+    obs = pad_obstacles(
+        jnp.asarray([[7.0, 5.0, 0.5, 0, 0, 0, 0], [3.0, 5.0, 0.4, 0, 0, 0, 0]]), 4
+    )
+    det, mask = fov_mod.detect_unknown_obs_ray(pos, obs, fp, gs)
+    m = np.asarray(mask)
+    assert m[0] and not m[1] and not m[2:].any()
+    fitted = np.asarray(det[0])
+    # fitted circle is near the true one, biased toward the visible side
+    assert abs(fitted[1] - 5.0) < 0.1
+    assert 6.3 < fitted[0] <= 7.05
+    assert 0.2 < fitted[2] <= 0.55

@@ -1,0 +1,74 @@
+"""VTOL2D end-to-end scenario (examples/test_vtol.py analog).
+
+VTOL is MPC-only (nominal_input returns zeros, vtol2D.py:459-461) with
+horizon 30 (mpc_cbf.py:41).  Success: fly the corridor at altitude, descend
+between the pillars to the landing point, no collision/ground strike
+(tracking.py:490-494).  Scaled: shorter course and tf for CI.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_control_tpu.core.spec import VTOL_2D, make_spec
+from safe_control_tpu.core.types import pad_obstacles
+from safe_control_tpu.dynamics import get_model
+from safe_control_tpu.sim import tracking
+from safe_control_tpu.solvers import mpc_cbf
+
+SPEC = make_spec(VTOL_2D, radius=0.6, v_max=20.0, reached_threshold=1.0)
+MODEL = get_model(VTOL_2D)
+DT = 0.05
+
+
+def test_vtol_dynamics_hover_trim():
+    """Aero sanity: at rest with rotor thrust = mg the vehicle hovers.
+
+    mg = 11 * 9.81 = 107.9 N; k_front + k_rear = 140 N -> throttle 0.7707.
+    """
+    x = jnp.array([0.0, 10.0, 0.0, 0.0, 0.0, 0.0])
+    thr = 11.0 * 9.81 / (70.0 + 70.0)
+    u = jnp.array([thr, thr, 0.0, 0.0])
+    step = jax.jit(lambda x, u: MODEL.step(x, u, SPEC, DT))
+    for _ in range(100):
+        x = step(x, u)
+    xf = np.asarray(x)
+    assert np.isfinite(xf).all()
+    assert abs(xf[1] - 10.0) < 0.2  # altitude held over 5 s
+    assert abs(xf[2]) < 0.05  # pitch balanced (ell_f k_f = ell_r k_r)
+
+
+@pytest.mark.slow
+def test_vtol_mpc_corridor():
+    """Fly toward a waypoint at altitude with a pillar field ahead
+    (test_vtol.py scenario, shortened).  Must make forward progress at
+    altitude without hitting pillars or the ground."""
+    pillar_x = 37.0
+    rows = [[pillar_x, float(y), 0.5] for y in range(6, 10)]
+    known = pad_obstacles(
+        jnp.asarray(np.hstack([np.array(rows), np.zeros((len(rows), 4))])), 8
+    )
+    wps = jnp.asarray([[2.0, 10.0], [45.0, 10.0]], dtype=jnp.float32)
+    cfg = tracking.TrackerConfig(
+        model_name=VTOL_2D, pos_controller="mpc_cbf", dt=DT, num_obs=8,
+        reached_threshold=1.0,
+        mpc=mpc_cbf.MPCConfig(horizon=30, num_obs=5),
+    )
+    x0 = jnp.array([2.0, 10.0, 0.0, 20.0, 0.0, 0.0])
+    st = tracking.init_state(cfg, SPEC, x0, 0.0, first_goal=np.array([2.0, 10.0]))
+    stepf = jax.jit(
+        lambda s: tracking.step(cfg, SPEC, s, wps, jnp.asarray(2), known)
+    )
+    min_pillar = np.inf
+    for t in range(120):  # 6 s
+        out = stepf(st)
+        st = out.state
+        x = np.asarray(st.x)
+        assert x[1] > 0.0, f"ground strike at t={t * DT}"
+        d = min(np.hypot(x[0] - r[0], x[1] - r[1]) - r[2] for r in rows)
+        min_pillar = min(min_pillar, d)
+        if int(st.goal_idx) >= 2:
+            break
+    assert x[0] > 25.0, f"insufficient progress: x={x[0]}"
+    assert min_pillar > 0.3, f"pillar clearance {min_pillar}"
