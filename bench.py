@@ -32,18 +32,22 @@ def main() -> None:
     step, args = _build_step(batch=batch)
     fn = jax.jit(step)
 
-    # Compile + warm up.
+    # Compile + warm up.  NOTE: completion is forced by a host fetch of one
+    # scalar, not ``block_until_ready`` — on the axon tunnel backend
+    # block_until_ready has been observed to return before the computation
+    # chain actually finishes, which silently corrupts timings.
     out = fn(*args)
-    jax.block_until_ready(out)
+    _ = np.asarray(out[0][:1])
 
-    # Steady-state timing: feed the warm-started U back in (closed-loop-like).
+    # Steady-state timing: feed the warm-started U back in (closed-loop-like;
+    # the data dependency between reps also defeats any result caching).
     xs, goals, obs, u_prevs, Us = args
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         xs, u, Us = fn(xs, goals, obs, u_prevs, Us)
         u_prevs = u
-    jax.block_until_ready((xs, Us))
+    _ = np.asarray(xs[:1, :1])  # forces the whole rep chain
     elapsed = time.perf_counter() - t0
 
     solves_per_sec = batch * reps / elapsed

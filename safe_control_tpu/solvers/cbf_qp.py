@@ -33,18 +33,8 @@ class CBFQPResult(NamedTuple):
     h_min: jnp.ndarray  # min barrier margin over active rows (diagnostics)
 
 
-def solve(
-    model_name: str,
-    spec,
-    x,
-    u_ref,
-    obs,
-    dt: float,
-    mode: str = "cbf",
-    iters: int = 1600,
-) -> CBFQPResult:
-    """Solve one CBF-QP. ``obs`` is a fixed-shape (K, 7) padded array."""
-    model = get_model(model_name)
+def _assemble(model, model_name, spec, x, u_ref, obs, dt, mode):
+    """Build the QP data (P, q, A, l, u) plus the CBF rows for diagnostics."""
     m = model.N_CONTROLS
 
     if hasattr(model, "ct_multi_h"):
@@ -73,16 +63,74 @@ def solve(
     l = jnp.concatenate([-b_vals, model.u_lb(spec)])
     u_up = jnp.concatenate([jnp.full((a_rows.shape[0],), jnp.inf, dtype=x.dtype),
                             model.u_ub(spec)])
-    sol = solve_qp(P, q, A, l, u_up, iters=iters)
+    return P, q, A, l, u_up, a_rows, b_vals, dummy
 
+
+def _result(sol, a_rows, b_vals, dummy) -> CBFQPResult:
     feasible = sol.prim_res < 1e-3
     margin = a_rows @ sol.x + b_vals
     h_min = jnp.min(jnp.where(dummy, jnp.inf, margin))
     return CBFQPResult(u=sol.x, feasible=feasible, h_min=h_min)
 
 
-def solve_batch(model_name: str, spec, xs, u_refs, obs_batch, dt: float, **kw):
-    """vmap over robots; ``spec`` may itself be batched for heterogeneity."""
+def solve(
+    model_name: str,
+    spec,
+    x,
+    u_ref,
+    obs,
+    dt: float,
+    mode: str = "cbf",
+    iters: int = 1600,
+) -> CBFQPResult:
+    """Solve one CBF-QP. ``obs`` is a fixed-shape (K, 7) padded array."""
+    model = get_model(model_name)
+    P, q, A, l, u_up, a_rows, b_vals, dummy = _assemble(
+        model, model_name, spec, x, u_ref, obs, dt, mode
+    )
+    sol = solve_qp(P, q, A, l, u_up, iters=iters)
+    return _result(sol, a_rows, b_vals, dummy)
+
+
+def solve_batch(
+    model_name: str,
+    spec,
+    xs,
+    u_refs,
+    obs_batch,
+    dt: float,
+    backend: str = "auto",
+    **kw,
+):
+    """vmap over robots; ``spec`` may itself be batched for heterogeneity.
+
+    ``backend``: 'xla' vmaps the fori-loop ADMM (solvers/qp.py); 'pallas'
+    assembles all QPs then runs the lane-batched Pallas ADMM kernel
+    (solvers/qp_kernel.py) — ~2x faster per solve on TPU at equal accuracy;
+    'auto' picks pallas on TPU for batches big enough to fill a lane tile.
+    """
+    if backend == "auto":
+        n_batch = xs.shape[0]
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu" and n_batch >= 128
+            else "xla"
+        )
+    if backend == "pallas":
+        from safe_control_tpu.solvers.qp_kernel import solve_qp_batch_pallas
+
+        model = get_model(model_name)
+        mode = kw.pop("mode", "cbf")
+        iters = kw.pop("iters", 1600)
+        in_axes = (None, 0, 0, 0) if not _is_batched(spec) else (0, 0, 0, 0)
+        P, q, A, l, u_up, a_rows, b_vals, dummy = jax.vmap(
+            lambda s, x, ur, ob: _assemble(
+                model, model_name, s, x, ur, ob, dt, mode
+            ),
+            in_axes=in_axes,
+        )(spec, xs, u_refs, obs_batch)
+        sols = solve_qp_batch_pallas(P, q, A, l, u_up, iters=iters)
+        return jax.vmap(_result)(sols, a_rows, b_vals, dummy)
     in_axes = (None, 0, 0, 0) if not _is_batched(spec) else (0, 0, 0, 0)
     fn = lambda s, x, ur, ob: solve(model_name, s, x, ur, ob, dt, **kw)
     return jax.vmap(fn, in_axes=in_axes)(spec, xs, u_refs, obs_batch)
