@@ -261,26 +261,33 @@ def solve(
         """AL gradient and Gauss-Newton Hessian from forward-mode Jacobians.
 
         No reverse-mode AD anywhere in the solver:  with 16-24 decision
-        variables, jacfwd of the residual/constraint stacks is both cheaper
-        and MUCH friendlier to the TPU compiler than jax.grad through the
-        rollout scan (reverse AD of the scan was a multi-minute compile).
+        variables, forward-mode through the rollout is both cheaper and MUCH
+        friendlier to the TPU compiler than jax.grad through the scan
+        (reverse AD of the scan was a multi-minute compile).  One
+        ``jax.linearize`` of the stacked [residual; constraints] map yields
+        the primal values AND both Jacobians from a single rollout trace —
+        the primal point and its tangents share all intermediate work.
         Closed forms:  grad = 2 Jr'r - Jc'act,  H = 2 Jr'Jr + rho Jc_a'Jc_a.
         """
-        r, act = al_terms(U_flat, lam, rho)
-        Jr = jax.jacfwd(lambda Uf_: residual(Uf_.reshape(N, m)))(U_flat)
-        Jc = jax.jacfwd(
-            lambda Uf_: constraints(Uf_.reshape(N, m)) * c_scale
-        )(U_flat)
-        grad = 2.0 * (Jr.T @ r) - Jc.T @ act
+
+        def rc(Uf_):
+            U_ = Uf_.reshape(N, m)
+            return residual(U_), constraints(U_) * c_scale
+
+        (r, c), jvp = jax.linearize(rc, U_flat)
+        basis = jnp.eye(N * m, dtype=dtype)
+        Jr, Jc = jax.vmap(jvp)(basis)  # (Nm, n_r), (Nm, n_c) — row = d/dU_i
+        act = jnp.maximum(0.0, lam - rho * c)
+        grad = 2.0 * (Jr @ r) - Jc @ act
         active = (act > 0.0).astype(dtype)
-        Jca = Jc * active[:, None]
-        H = 2.0 * (Jr.T @ Jr) + rho * (Jca.T @ Jca)
-        return grad, H
+        Jca = Jc * active[None, :]
+        H = 2.0 * (Jr @ Jr.T) + rho * (Jca @ Jca.T)
+        return grad, H, r, act
 
     alphas = jnp.array([1.0, 0.5, 0.25, 0.1, 0.03, 0.0], dtype=dtype)
 
     def newton_step(Uf, lam, rho):
-        grad, H = al_grad_hess(Uf, lam, rho)
+        grad, H, r0, act0 = al_grad_hess(Uf, lam, rho)
         H = H + cfg.reg * jnp.eye(N * m, dtype=dtype) * (1.0 + jnp.trace(H) / (N * m))
         # Projected Newton (Bertsekas): freeze variables sitting at an active
         # box bound with the gradient pushing outward, otherwise the clipped
@@ -301,7 +308,6 @@ def solve(
         # A naive L(a) comparison drowns O(1e-5) constraint-penalty changes
         # under an O(1e4) cost in f32 (goal 10 m away, Q=50), which silently
         # disabled constraint enforcement in closed loop.
-        r0, act0 = al_terms(Uf, lam, rho)
 
         def merit_delta(a):
             cand = jnp.clip(Uf + a * step, lb_flat, ub_flat)
