@@ -91,19 +91,88 @@ class LocalTrackingController:
         self._yaw0 = yaw0
 
         horizon = int(robot_spec.get("mpc_horizon", 10))
-        num_constraints = int(robot_spec.get("num_constraints", 10))
+        # Manipulator2D defaults to 150 constraint slots (5 obs x 30 link
+        # circles, tracking.py:131-136); everyone else to 10.
+        default_constraints = 150 if self.model_name == "Manipulator2D" else 10
+        num_constraints = int(robot_spec.get("num_constraints", default_constraints))
+        if self.model_name == "Manipulator2D":
+            # Our CBF-QP expands link-circle rows internally, so num_obs is
+            # the obstacle count, not the row count.
+            num_constraints = max(num_constraints // 30, 1)
+
+        use_sensor = robot_spec.get("sensor") == "rgbd"
+        pos_type = controller_type.get("pos", "cbf_qp")
+        att_type = controller_type.get("att", "velocity_tracking_yaw")
+        detection = str(robot_spec.get("unknown_obs_detection", "fov")).lower()
+
+        # The sensing footprint grid stands in for the reference's shapely
+        # polygon union (robots/robot.py:646-654); it is sized from the env
+        # workspace so visibility violations (return code 1) are reachable
+        # through this wrapper exactly like tracking.py:652-668.
+        grid = None
+        needs_grid = (
+            use_sensor
+            or detection == "ray"
+            or att_type in ("visibility_raycast", "visibility_area", "gatekeeper")
+        )
+        if needs_grid:
+            from safe_control_tpu.perception.grid import GridSpec
+
+            if env is not None:
+                grid = GridSpec(
+                    width=float(getattr(env, "width", 20.0)),
+                    height=float(getattr(env, "height", 20.0)),
+                    resolution=float(getattr(env, "resolution", 0.1)),
+                )
+            else:
+                grid = GridSpec(width=20.0, height=20.0)
+
+        from safe_control_tpu.attitude.gatekeeper_att import GatekeeperAttConfig
+
+        gk_att = GatekeeperAttConfig(
+            dt=dt,
+            nominal_horizon=float(robot_spec.get("gatekeeper_nominal_horizon", 1.0)),
+            backup_horizon=float(robot_spec.get("gatekeeper_backup_horizon", 2.0)),
+            event_offset=float(robot_spec.get("gatekeeper_event_offset", 0.5)),
+            horizon_discount=float(
+                robot_spec.get("gatekeeper_horizon_discount", max(5 * dt, dt))
+            ),
+            validation_slack=float(robot_spec.get("gatekeeper_validation_slack", 0.05)),
+            tube_margin=float(
+                robot_spec.get("gatekeeper_validation_tube_margin", 0.0)
+            ),
+            braking_distance_scale=float(
+                robot_spec.get("gatekeeper_braking_distance_scale", 1.0)
+            ),
+            braking_distance_margin=float(
+                robot_spec.get(
+                    "gatekeeper_braking_distance_margin",
+                    float(self.spec.radius) + 0.10,
+                )
+            ),
+        )
         self.cfg = tracking.TrackerConfig(
             model_name=self.model_name,
-            pos_controller=controller_type.get("pos", "cbf_qp"),
-            att_controller=controller_type.get("att", "velocity_tracking_yaw"),
+            pos_controller=pos_type,
+            att_controller=att_type,
             dt=dt,
             num_obs=num_constraints,
             enable_rotation=enable_rotation,
-            use_sensor=robot_spec.get("sensor") == "rgbd",
+            use_sensor=use_sensor,
+            detection_mode=detection,
             reached_threshold=float(
                 robot_spec.get("reached_threshold", 0.3)
             ),
-            mpc=mpc_mod.MPCConfig(horizon=horizon, num_obs=5),
+            mpc=mpc_mod.MPCConfig(
+                horizon=horizon,
+                num_obs=5,
+                optimal_decay=(pos_type == "optimal_decay_mpc_cbf"),
+            ),
+            grid=grid,
+            visibility_mode=str(
+                robot_spec.get("visibility_violation_mode", "safety_area")
+            ).lower(),
+            gk_att=gk_att,
         )
 
         env_obs = np.zeros((0, 7))

@@ -29,6 +29,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from safe_control_tpu.attitude import gatekeeper_att as gk_att_mod
+from safe_control_tpu.attitude import visibility as vis_mod
 from safe_control_tpu.attitude.simple import velocity_tracking_yaw
 from safe_control_tpu.core import spec as spec_mod
 from safe_control_tpu.core.types import (
@@ -43,6 +45,7 @@ from safe_control_tpu.perception import fov as fov_mod
 from safe_control_tpu.perception import grid as grid_mod
 from safe_control_tpu.solvers import cbf_qp as cbf_qp_mod
 from safe_control_tpu.solvers import mpc_cbf as mpc_mod
+from safe_control_tpu.solvers import optimal_decay_cbf_qp as od_qp_mod
 
 # State-machine codes (tracking.py:49).
 IDLE, TRACK, STOP, ROTATE = 0, 1, 2, 3
@@ -60,11 +63,19 @@ _SKIP_ROTATE = (spec_mod.QUAD_2D, spec_mod.VTOL_2D, spec_mod.MANIPULATOR_2D)
 
 @dataclasses.dataclass(frozen=True)
 class TrackerConfig:
-    """Static configuration (jit-specializing)."""
+    """Static configuration (jit-specializing).
+
+    ``pos_controller``/``att_controller`` accept the full reference factory
+    surface (tracking.py:138-181): pos 'cbf_qp' | 'mpc_cbf' |
+    'optimal_decay_cbf_qp' | 'optimal_decay_mpc_cbf'; att (integrators only)
+    'none' | 'simple' | 'velocity_tracking_yaw' | 'visibility_raycast' |
+    'visibility_area' | 'gatekeeper'.  ``detection_mode`` mirrors the
+    ``unknown_detection`` axis (utils/detection.py:135-140): 'fov' | 'ray'.
+    """
 
     model_name: str
-    pos_controller: str = "cbf_qp"  # 'cbf_qp' | 'mpc_cbf'
-    att_controller: str = "velocity_tracking_yaw"  # or 'none'
+    pos_controller: str = "cbf_qp"
+    att_controller: str = "velocity_tracking_yaw"
     dt: float = 0.05
     num_obs: int = 10  # constraint slots fed to the controller
     mem_slots: int = 16  # persistent unknown-obstacle memory size
@@ -72,6 +83,7 @@ class TrackerConfig:
     rotation_threshold: float = 0.1
     enable_rotation: bool = True
     use_sensor: bool = False  # 'sensor': 'rgbd' analog
+    detection_mode: str = "fov"  # 'fov' | 'ray' (utils/detection.py:135-140)
     mpc: mpc_mod.MPCConfig = mpc_mod.MPCConfig()
     qp_iters: int = 1600
     # Occupancy-footprint visibility checking (tracking.py:652-668): when a
@@ -79,7 +91,51 @@ class TrackerConfig:
     # and a visibility violation returns RET_VISIBILITY.
     grid: object = None  # Optional[grid_mod.GridSpec]
     visibility_mode: str = "safety_area"  # or 'point_mass'
-    max_decel: float = 1.0
+    # Braking decelerations for the safety area (robots/robot.py:62-63).
+    max_decel: float = 3.0
+    max_ang_decel: float = 3.0
+    # VTOL pitch term of the collision oracle: 'reference' compares the pitch
+    # against the RAW spec value like tracking.py:493 (vacuous at the 15.0-
+    # degree default); 'strict' converts degrees->radians first.
+    vtol_pitch_oracle: str = "reference"
+    # Yaw-gatekeeper attitude shielding (attitude/gatekeeper_att.py).
+    gk_att: gk_att_mod.GatekeeperAttConfig = gk_att_mod.GatekeeperAttConfig()
+
+    def __post_init__(self):
+        if self.pos_controller not in (
+            "cbf_qp", "mpc_cbf", "optimal_decay_cbf_qp", "optimal_decay_mpc_cbf",
+        ):
+            raise ValueError(f"Unknown controller type: {self.pos_controller}")
+        if self.att_controller not in (
+            "none", "simple", "velocity_tracking_yaw", "visibility_raycast",
+            "visibility_area", "gatekeeper",
+        ):
+            raise ValueError(
+                f"Unknown attitude controller type: {self.att_controller}"
+            )
+        if self.pos_controller == "optimal_decay_mpc_cbf" and not self.mpc.optimal_decay:
+            # The optimal-decay MPC is the same engine with the omega inputs
+            # enabled (optimal_decay_mpc_cbf.py:125-126); coerce the flag so
+            # the two config axes can't disagree.
+            object.__setattr__(self, "mpc", self.mpc._replace(optimal_decay=True))
+        if self.detection_mode not in ("fov", "ray"):
+            raise ValueError(
+                f"Unsupported unknown_obs_detection mode: {self.detection_mode}"
+            )
+        needs_grid = self.att_controller in (
+            "visibility_raycast", "visibility_area", "gatekeeper",
+        ) or self.detection_mode == "ray"
+        if needs_grid and self.grid is None:
+            raise ValueError(
+                f"att_controller={self.att_controller!r} / detection_mode="
+                f"{self.detection_mode!r} require a GridSpec (cfg.grid): the "
+                "reference's equivalents operate on the sensing footprint "
+                "(robots/robot.py:646-654)"
+            )
+
+    @property
+    def uses_mpc(self) -> bool:
+        return self.pos_controller in ("mpc_cbf", "optimal_decay_mpc_cbf")
 
 
 class TrackerState(NamedTuple):
@@ -92,6 +148,7 @@ class TrackerState(NamedTuple):
     mem: fov_mod.ObsMemory
     ret: jnp.ndarray  # int32 last step return code
     footprint: jnp.ndarray  # occupancy grid (1,1) placeholder when unused
+    att_gk: gk_att_mod.GatekeeperAttState  # yaw-gatekeeper commitment
 
 
 class StepOutput(NamedTuple):
@@ -153,6 +210,7 @@ def init_state(
         mem=fov_mod.init_memory(cfg.mem_slots, dtype=dtype),
         ret=jnp.asarray(RET_OK, dtype=jnp.int32),
         footprint=fp,
+        att_gk=gk_att_mod.init_state(cfg.gk_att),
     )
 
 
@@ -270,11 +328,25 @@ def step(
     # ---- perception (tracking.py:580-586) ---------------------------------
     mem = state.mem
     if cfg.use_sensor and unknown_obs is not None:
-        det, det_mask = fov_mod.detect_unknown_obs_fov(pos, heading, unknown_obs, spec)
-        mem = fov_mod.merge_memory(mem, det, det_mask)
-        detected_slots = jnp.where(
-            mem.valid[:, None], mem.slots, dummy_obstacle(dtype)[None, :]
-        )
+        if cfg.detection_mode == "ray":
+            # Legacy 'ray' mode (utils/detection.py:90-132): obstacles are
+            # detected through the accumulated sensing footprint, and the
+            # controller sees only the CURRENT detections — persistent
+            # memory is fov-mode-only in the reference (robot.py:811-834).
+            det, det_mask = fov_mod.detect_unknown_obs_ray(
+                pos, unknown_obs, state.footprint, cfg.grid
+            )
+            detected_slots = jnp.where(
+                det_mask[:, None], det, dummy_obstacle(dtype)[None, :]
+            )
+        else:
+            det, det_mask = fov_mod.detect_unknown_obs_fov(
+                pos, heading, unknown_obs, spec
+            )
+            mem = fov_mod.merge_memory(mem, det, det_mask)
+            detected_slots = jnp.where(
+                mem.valid[:, None], mem.slots, dummy_obstacle(dtype)[None, :]
+            )
         all_obs = jnp.concatenate([known_obs, detected_slots], axis=0)
     else:
         all_obs = known_obs
@@ -284,7 +356,15 @@ def step(
     obs_sel = select_obstacles(cfg, spec, pos, heading, all_obs, speed)
 
     # ---- nominal input (tracking.py:589-604) ------------------------------
-    u_track = model.nominal_input(x, wp, spec)
+    if cfg.pos_controller == "optimal_decay_cbf_qp":
+        # The reference feeds softer nominal gains to the optimal-decay QP
+        # (tracking.py:600-601: k_omega=3.0, k_a=0.5, k_v=0.5).
+        spec_nom = spec.replace(
+            nominal_k_omega=3.0, nominal_k_a=0.5, nominal_k_v=0.5
+        )
+    else:
+        spec_nom = spec
+    u_track = model.nominal_input(x, wp, spec_nom)
     u_stop = model.stop(x, spec)
     if cfg.model_name in _INTEGRATORS:
         u_rotate = u_stop
@@ -295,13 +375,21 @@ def step(
     )
 
     # ---- position controller (tracking.py:606-616) ------------------------
+    mpc_xs = None  # (N+1, n) prediction, published for the yaw gatekeeper
     if cfg.pos_controller == "cbf_qp":
         qp = cbf_qp_mod.solve(
             cfg.model_name, spec, x, u_ref, obs_sel, cfg.dt, iters=cfg.qp_iters
         )
         u, feasible = qp.u, qp.feasible
         mpc_state = state.mpc
-    elif cfg.pos_controller == "mpc_cbf":
+    elif cfg.pos_controller == "optimal_decay_cbf_qp":
+        # Nearest obstacle only, like the reference (:135-155).
+        od = od_qp_mod.solve(
+            cfg.model_name, spec, x, u_ref, obs_sel[0], cfg.dt, iters=cfg.qp_iters
+        )
+        u, feasible = od.u, od.feasible
+        mpc_state = state.mpc
+    elif cfg.uses_mpc:
         goal_full = jnp.zeros((model.N_STATES,), dtype=dtype).at[:2].set(wp)
         res = mpc_mod.solve(
             cfg.model_name,
@@ -323,25 +411,90 @@ def step(
         # stays available in StepOutput for stricter callers.
         feasible = jnp.asarray(True)
         mpc_state = res.state
+        mpc_xs = res.xs
     else:
         raise ValueError(f"unknown pos controller {cfg.pos_controller}")
 
-    # ---- attitude controller (tracking.py:621-624) ------------------------
+    # ---- attitude controller (tracking.py:621-624, factory :156-181) ------
+    gk_state = state.att_gk
     if cfg.model_name in _INTEGRATORS and cfg.att_controller != "none":
-        u_att_track = velocity_tracking_yaw(cfg.model_name, spec, x, yaw, u)
+        if cfg.att_controller == "velocity_tracking_yaw":
+            u_att_track = velocity_tracking_yaw(cfg.model_name, spec, x, yaw, u)
+        elif cfg.att_controller == "simple":
+            # Constant yaw rate (simple_attitude.py:21).
+            u_att_track = jnp.asarray(spec.w_max, dtype)
+        elif cfg.att_controller == "visibility_area":
+            u_att_track = vis_mod.visibility_area_yaw(
+                state.footprint, cfg.grid, pos, yaw, spec
+            )
+        elif cfg.att_controller == "visibility_raycast":
+            u_att_track = vis_mod.visibility_raycast_yaw(
+                state.footprint, cfg.grid, pos, yaw, spec
+            )
+        elif cfg.att_controller == "gatekeeper":
+            # Positional prediction: the MPC trajectory when available, else a
+            # zero-control rollout from the current state — exactly the
+            # reference's opt_x_num pull + constant-velocity fallback
+            # (gatekeeper_attitude.py:159-241).
+            T = cfg.gk_att.total_steps
+            x_pred = mpc_xs if mpc_xs is not None else x[None, :]
+            x_pred = gk_att_mod.extend_prediction(model, spec, x_pred, cfg.dt, T)
+            pos_traj = x_pred[:, :2]
+            if model.N_STATES >= 4:
+                vel_traj = x_pred[:, 2:4]
+            else:  # SingleIntegrator2D: velocity from position differences
+                dp = jnp.diff(pos_traj, axis=0) / cfg.dt
+                vel_traj = jnp.concatenate([dp, dp[-1:]], axis=0)
+            u_att_track, gk_new, _ = gk_att_mod.step(
+                cfg.gk_att, spec, cfg.model_name, state.att_gk,
+                state.footprint, cfg.grid, pos_traj, vel_traj, yaw,
+            )
+            # The reference invokes the attitude controller only in 'track'
+            # (tracking.py:621); freeze its commitment state otherwise.
+            gk_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(mode == TRACK, new, old),
+                gk_new, state.att_gk,
+            )
+        else:
+            raise ValueError(f"unknown att controller {cfg.att_controller}")
         u_att_rotate = model.yaw_rate_to(yaw, goal_angle, spec)
         u_att = jnp.where(
             mode == TRACK, u_att_track, jnp.where(mode == ROTATE, u_att_rotate, 0.0)
         )
         yaw_next = angle_normalize(yaw + u_att * cfg.dt)
     else:
+        u_att = jnp.asarray(0.0, dtype)
         yaw_next = yaw
 
     # ---- verdicts + integration (tracking.py:626-646) ---------------------
-    collide_pre = collision_any(spec, pos, all_obs)
+    # The oracle checks GROUND-TRUTH obstacles (known + raw unknown,
+    # tracking.py:456-470), not the detections the controller sees — in 'ray'
+    # mode fitted circles can differ from the real geometry.
+    if cfg.use_sensor and unknown_obs is not None:
+        oracle_obs = jnp.concatenate([known_obs, unknown_obs], axis=0)
+    else:
+        oracle_obs = all_obs
+    collide_pre = collision_any(spec, pos, oracle_obs)
     x_next = model.step(x, u, spec, cfg.dt)
     pos_next = model.barrier_pos(x_next)
-    collide_post = collision_any(spec, pos_next, all_obs)
+    collide_post = collision_any(spec, pos_next, oracle_obs)
+    if cfg.model_name == spec_mod.VTOL_2D:
+        # VTOL ground-strike / pitch-limit terms of the collision oracle
+        # (tracking.py:488-495).  The reference compares the pitch state
+        # (radians) against robot_spec['pitch_max'] whose default is 15.0
+        # *degrees* (vtol2D.py:110) — at defaults that check can never fire
+        # (15 rad), while the MPC separately enforces the converted bound
+        # (mpc_cbf.py:231-232).  'reference' mode reproduces that literally;
+        # 'strict' applies the clearly intended degrees->radians conversion
+        # (transient AL-softened bound overshoot then terminates the run).
+        if cfg.vtol_pitch_oracle == "strict":
+            pitch_lim = jnp.deg2rad(spec.pitch_max)
+        else:
+            pitch_lim = jnp.asarray(spec.pitch_max, dtype)
+        collide_pre = collide_pre | (x[1] < 0.0) | (jnp.abs(x[2]) > pitch_lim)
+        collide_post = (
+            collide_post | (x_next[1] < 0.0) | (jnp.abs(x_next[2]) > pitch_lim)
+        )
     bad = (~feasible) | collide_pre | collide_post
 
     # Yaw of heading models tracks theta (robots/robot.py:441-453).
@@ -357,14 +510,30 @@ def step(
         )
         if cfg.visibility_mode == "safety_area":
             is_integrator = cfg.model_name in _INTEGRATORS
-            vel = x_next[2:4] if is_integrator else None
-            v_mag = jnp.linalg.norm(x_next[2:4]) if is_integrator else (
-                x_next[3] if model.N_STATES >= 4 else jnp.asarray(0.0, dtype)
-            )
-            yaw_rate = jnp.asarray(0.0, dtype)  # conservative straight tube
+            # Speed + yaw rate per model (robots/robot.py:656-676, 367-381):
+            # the decelerating-arc branch runs whenever the live yaw rate is
+            # non-zero, exactly like update_safety_area.
+            if cfg.model_name == spec_mod.SINGLE_INTEGRATOR_2D:
+                vel, v_mag = u[:2], jnp.linalg.norm(u[:2])
+                yaw_rate = u_att
+            elif cfg.model_name == spec_mod.DOUBLE_INTEGRATOR_2D:
+                vel, v_mag = x_next[2:4], jnp.linalg.norm(x_next[2:4])
+                yaw_rate = u_att
+            elif cfg.model_name == spec_mod.UNICYCLE_2D:
+                vel, v_mag, yaw_rate = None, u[0], u[1]
+            elif cfg.model_name in (spec_mod.QUAD_2D, spec_mod.VTOL_2D):
+                vel, v_mag = None, jnp.linalg.norm(x_next[3:5])
+                yaw_rate = x_next[5]
+            elif cfg.model_name == spec_mod.QUAD_3D:
+                vel, v_mag = None, jnp.linalg.norm(x_next[6:9])
+                yaw_rate = x_next[11]
+            else:  # DynamicUnicycle2D / KinematicBicycle2D family
+                vel, v_mag = None, x_next[3] if model.N_STATES >= 4 else 0.0
+                yaw_rate = u[1]
             tube = grid_mod.safety_area_mask(
                 cfg.grid, pos_next, yaw_next, v_mag, yaw_rate, spec, cfg.dt,
-                max_decel=cfg.max_decel, integrator=is_integrator, vel=vel,
+                max_decel=cfg.max_decel, max_ang_decel=cfg.max_ang_decel,
+                integrator=is_integrator, vel=vel,
             )
             beyond = grid_mod.is_beyond_footprint(
                 footprint, cfg.grid, pos_next, safety_mask=tube
@@ -401,6 +570,9 @@ def step(
         ),
         ret=jnp.where(frozen, state.ret, ret).astype(jnp.int32),
         footprint=jnp.where(frozen, state.footprint, footprint),
+        att_gk=jax.tree_util.tree_map(
+            lambda a, b: jnp.where(frozen, a, b), state.att_gk, gk_state
+        ),
     )
     return StepOutput(state=new_state, u=u, ret=new_state.ret, feasible=feasible, goal=wp)
 

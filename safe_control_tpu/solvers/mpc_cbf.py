@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from safe_control_tpu.barriers.hocbf import dt_h as hocbf_dt_h
-from safe_control_tpu.barriers.hocbf import dt_hocbf_value
 from safe_control_tpu.core import spec as spec_mod
 from safe_control_tpu.dynamics import get_model
 
@@ -138,6 +137,45 @@ def _model_name_of(model) -> str:
     raise ValueError("unregistered model module")
 
 
+_UNROLL_CHOL_MAX = 40  # unroll the Newton solve up to this many variables
+
+
+def _chol_solve_unrolled(H, g):
+    """Solve H x = g (SPD) with a trace-time-unrolled Cholesky.
+
+    XLA lowers batched ``cho_factor``/``cho_solve`` on TPU as a sequential
+    masked loop plus batched triangular solves — a long serial chain that
+    dominates the vmapped MPC solve at D=16..24.  Unrolling at trace time
+    turns the factorization into ~D^3/6 independent fused scalar ops, each of
+    which is a (batch,)-wide VPU op under ``vmap`` — the same trick as the
+    Pallas QP kernel's ``_chol`` (solvers/qp_kernel.py:46-76).
+    """
+    D = H.shape[0]
+    L = [[None] * D for _ in range(D)]
+    for i in range(D):
+        for j in range(i + 1):
+            s = H[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+            else:
+                L[i][j] = s / L[j][j]
+    w = [None] * D
+    for i in range(D):
+        s = g[i]
+        for k in range(i):
+            s = s - L[i][k] * w[k]
+        w[i] = s / L[i][i]
+    x = [None] * D
+    for i in reversed(range(D)):
+        s = w[i]
+        for k in range(i + 1, D):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def solve(
     model_name: str,
     spec,
@@ -193,32 +231,56 @@ def solve(
             parts.append(om_res.ravel())
         return jnp.concatenate(parts)
 
-    def _stage_cbf(xk, uk, o):
-        if not cfg.optimal_decay:
-            return dt_hocbf_value(model, model_name, xk, uk[:m_ctrl], o, spec, dt)
-        # optimal-decay CBF row (optimal_decay_mpc_cbf.py:282-300)
-        w1, w2 = uk[m_ctrl], uk[m_ctrl + 1]
-        h_fn = lambda xx: hocbf_dt_h(model, model_name, xx, o, spec)
-        h_k = h_fn(xk)
-        x1 = model.step(xk, uk[:m_ctrl], spec, dt)
-        h_k1 = h_fn(x1)
-        if model.REL_DEG == 1:
-            return (h_k1 - h_k) + spec.mpc_cbf_alpha * h_k * w1
-        x2 = model.step(x1, uk[:m_ctrl], spec, dt)
-        h_k2 = h_fn(x2)
-        d_h = h_k1 - h_k
-        dd_h = h_k2 - 2.0 * h_k1 + h_k
-        a1, a2 = spec.mpc_cbf_alpha1, spec.mpc_cbf_alpha2
-        return dd_h + (a1 * w1 + a2 * w2) * d_h + a1 * a2 * w1 * w2 * h_k
+    def _h_all(states):
+        """Barrier values h(x, o) for a stack of states: (S, n) -> (S, K)."""
+        return jax.vmap(
+            lambda xk: jax.vmap(
+                lambda o: hocbf_dt_h(model, model_name, xk, o, spec)
+            )(obs)
+        )(states)
 
     def constraints(U):
-        """All inequality constraints c(U) >= 0, fixed shape."""
+        """All inequality constraints c(U) >= 0, fixed shape.
+
+        Work-sharing rewrite of the per-stage ``dt_hocbf_value`` evaluation
+        (dynamic_unicycle2D.py:188-238 semantics, mpc_cbf.py:308-325 rows):
+        the naive form evaluates h three times and steps the model twice per
+        (stage, obstacle), but x1_k == x_{k+1} is already in the rollout and
+        h(x_k)/h(x_{k+1}) are shared between consecutive stages.  Evaluating
+        H = h(xs_full) once per obstacle plus one extra step per stage
+        (x2_k = step(x_{k+1}, u_k) — same u_k, NOT x_{k+2}) cuts model.step
+        calls per constraint evaluation from 2·N·K to N and h evaluations
+        from 3·N·K to (2N+1)·K.  This is the hot op: it runs in the primal
+        AND every forward-mode tangent of the Gauss-Newton loop.
+        """
         xs = rollout(U)
         xs_full = jnp.concatenate([x0[None, :], xs], axis=0)  # (N+1, n)
-        # CBF at stages k=0..N-1 with (x_k, u_k) per obstacle.
-        cbf = jax.vmap(
-            lambda xk, uk: jax.vmap(lambda o: _stage_cbf(xk, uk, o))(obs)
-        )(xs_full[:N], U)  # (N, K)
+        H = _h_all(xs_full)  # (N+1, K)
+        h_k, h_k1 = H[:N], H[1:]
+        if model.REL_DEG == 1:
+            if cfg.optimal_decay:
+                # optimal-decay row (optimal_decay_mpc_cbf.py:282-300)
+                w1 = U[:, m_ctrl]
+                cbf = (h_k1 - h_k) + spec.mpc_cbf_alpha * h_k * w1[:, None]
+            else:
+                cbf = (h_k1 - h_k) + spec.mpc_cbf_alpha * h_k
+        else:
+            x2 = jax.vmap(
+                lambda xk1, uk: model.step(xk1, uk[:m_ctrl], spec, dt)
+            )(xs_full[1:], U)  # (N, n)
+            H2 = _h_all(x2)  # (N, K)
+            d_h = h_k1 - h_k
+            dd_h = H2 - 2.0 * h_k1 + h_k
+            a1, a2 = spec.mpc_cbf_alpha1, spec.mpc_cbf_alpha2
+            if cfg.optimal_decay:
+                w1, w2 = U[:, m_ctrl], U[:, m_ctrl + 1]
+                cbf = (
+                    dd_h
+                    + (a1 * w1 + a2 * w2)[:, None] * d_h
+                    + (a1 * a2 * w1 * w2)[:, None] * h_k
+                )
+            else:
+                cbf = dd_h + (a1 + a2) * d_h + a1 * a2 * h_k
         cons = [cbf.ravel()]
         for i in bounded_idx:
             cons.append(ub_x[i] - xs[:, i])  # upper
@@ -298,9 +360,12 @@ def solve(
         free = jnp.logical_not(at_lb | at_ub).astype(dtype)
         Hf = free[:, None] * H * free[None, :] + jnp.diag(1.0 - free)
         gf = free * grad
-        step = -jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(Hf, lower=True), gf
-        )
+        if N * m <= _UNROLL_CHOL_MAX:
+            step = -_chol_solve_unrolled(Hf, gf)
+        else:
+            step = -jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(Hf, lower=True), gf
+            )
 
         # Line search on the *difference* of merits, computed cancellation-
         # free:  L(a) - L(0) = (r_a - r_0)·(r_a + r_0)

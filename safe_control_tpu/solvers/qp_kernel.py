@@ -37,6 +37,28 @@ from safe_control_tpu.solvers.qp import QPSolution, _polish
 
 B_TILE = 1024  # problems per kernel instance; (B_TILE,) vectors = (8,128) VPU tiles
 N_STAGES = 8  # adaptive-rho refactorization points (matches qp.py)
+VMEM_BUDGET_BYTES = 4 * 1024 * 1024  # ~1/4 of a v5e core's VMEM: leaves room
+# for the unrolled Cholesky/RHS temporaries, which roughly double the
+# resident set counted in ``_tile_for``.
+
+
+def _tile_for(n: int, m: int, n_batch: int) -> int:
+    """Row-aware lane-tile size.
+
+    The kernel holds per-lane: A (m*n rows), P (n*n), q (n), l/u (2m) as
+    inputs plus x/z/y/rho/RHS/L state (~n*n + 2n + 3m registers/VMEM rows).
+    At manipulator scale (m~153 rows, tracking.py:134-138) the default 1024
+    lanes would need >5x the fp32 VMEM of the n<=4, m<=13 CBF-QP case, so the
+    tile shrinks to keep the resident set under ``VMEM_BUDGET_BYTES`` —
+    without this the kernel fails to fit (or silently spills) at large m.
+    """
+    rows = (m * n) + 2 * (n * n) + 3 * n + 7 * m + 4  # inputs + outputs + state
+    tile = VMEM_BUDGET_BYTES // (rows * 4)
+    tile = min(B_TILE, (tile // 128) * 128)
+    tile = max(tile, 128)
+    if n_batch < tile:
+        tile = max(((n_batch + 127) // 128) * 128, 128)
+    return tile
 
 
 def _chol(K, n):
@@ -213,7 +235,7 @@ def solve_qp_batch_pallas(
     qs = q * e
 
     # --- lane-major layout + batch padding ---------------------------------
-    tile = B_TILE if Bt >= B_TILE else ((Bt + 127) // 128) * 128
+    tile = _tile_for(n, m, Bt)
     pad = (-Bt) % tile
     Bp = Bt + pad
 

@@ -80,6 +80,65 @@ def test_non_tile_multiple_batch():
     assert dx < 1e-3
 
 
+def test_manipulator_scale_row_count():
+    # The Manipulator2D CBF-QP reaches ~150 rows (reference tracking.py:
+    # 134-138).  The row-aware tile (qp_kernel._tile_for) must shrink the
+    # lane count so the kernel still matches the XLA path at m=153.
+    from safe_control_tpu.solvers.qp_kernel import _tile_for
+
+    assert _tile_for(3, 153, 4096) < 1024  # tile actually shrinks
+    # Feasible-by-construction: bounds bracket A @ x_star (153 random rows in
+    # R^3 would otherwise be jointly infeasible almost surely).
+    rng = np.random.default_rng(7)
+    B, n, m = 6, 3, 153
+    M = rng.normal(size=(B, n, n))
+    P = M @ M.transpose(0, 2, 1) + np.eye(n)
+    q = rng.normal(size=(B, n))
+    A = rng.normal(size=(B, m, n))
+    x_star = rng.normal(size=(B, n))
+    Ax = np.einsum("bmn,bn->bm", A, x_star)
+    l = Ax - rng.uniform(0.05, 1.5, size=(B, m))
+    u = Ax + rng.uniform(0.05, 1.5, size=(B, m))
+    u[:, :100] = np.inf  # CBF-style one-sided rows
+    to = lambda z: jnp.asarray(z, dtype=jnp.float32)
+    P, q, A, l, u = to(P), to(q), to(A), to(l), to(u)
+    ref = jax.vmap(lambda *a: solve_qp(*a, iters=400))(P, q, A, l, u)
+    got = solve_qp_batch_pallas(P, q, A, l, u, iters=400)
+    ok = np.asarray(ref.prim_res < 1e-4) & np.asarray(got.prim_res < 1e-4)
+    assert ok.sum() >= 3
+    dx = np.max(np.abs(np.asarray(ref.x - got.x)[ok]))
+    assert dx < 2e-3, dx
+
+
+def test_manipulator_cbf_qp_pallas_backend():
+    # End-to-end: the real Manipulator2D link-circle CBF-QP (n=3 joint
+    # velocities, 5 obstacles x link-circle rows) through the Pallas backend.
+    from safe_control_tpu.core.spec import MANIPULATOR_2D, make_spec
+    from safe_control_tpu.core.types import pad_obstacles
+    from safe_control_tpu.solvers import cbf_qp
+
+    spec = make_spec(MANIPULATOR_2D)
+    rng = np.random.default_rng(3)
+    B = 4
+    xs = jnp.asarray(rng.uniform(-1.0, 1.0, (B, 3)), dtype=jnp.float32)
+    u_refs = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 3)), dtype=jnp.float32)
+    obs_one = pad_obstacles(
+        jnp.asarray(
+            [[1.5, 1.5, 0.3, 0, 0, 0, 0], [-1.0, 2.0, 0.4, 0, 0, 0, 0]],
+            dtype=jnp.float32,
+        ),
+        5,
+    )
+    obs = jnp.tile(obs_one[None], (B, 1, 1))
+    r_x = cbf_qp.solve_batch(
+        MANIPULATOR_2D, spec, xs, u_refs, obs, 0.05, backend="xla"
+    )
+    r_p = cbf_qp.solve_batch(
+        MANIPULATOR_2D, spec, xs, u_refs, obs, 0.05, backend="pallas"
+    )
+    np.testing.assert_allclose(np.asarray(r_x.u), np.asarray(r_p.u), atol=2e-3)
+
+
 def test_cbf_qp_pallas_backend_matches_xla():
     from safe_control_tpu.core.spec import DYNAMIC_UNICYCLE_2D, make_spec
     from safe_control_tpu.core.types import pad_obstacles
