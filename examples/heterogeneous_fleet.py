@@ -68,14 +68,23 @@ def main():
         x[:, 3] = 0.3
         return jnp.asarray(x)
 
-    # each family in its own band; in-band coupling still active
+    # each family in its own band; in-band coupling still active.
+    # Multi-waypoint serpentine routes (sustained traffic, not a 5 m hop):
+    # each robot weaves +-3 m laterally while advancing 8 m per leg, so
+    # neighboring rows cross paths repeatedly and the CBF coupling stays
+    # active for the whole run.
     x0s = [lattice(per, 0.0), lattice(per, 200.0), lattice(per, 400.0)]
     wps = []
     for x0 in x0s:
-        g = np.asarray(x0)[:, :2].copy()
-        g[:, 0] += 5.0
-        wps.append(jnp.asarray(g[:, None, :], dtype=jnp.float32))
-    n_wps = [jnp.asarray(1)] * 3
+        g0 = np.asarray(x0)[:, :2]
+        legs = []
+        for i, (dx, dy) in enumerate([(8.0, 3.0), (16.0, -3.0), (24.0, 3.0), (32.0, 0.0)]):
+            leg = g0.copy()
+            leg[:, 0] += dx
+            leg[:, 1] += dy
+            legs.append(leg)
+        wps.append(jnp.asarray(np.stack(legs, axis=1), dtype=jnp.float32))
+    n_wps = [jnp.asarray(4)] * 3
     known = pad_obstacles(jnp.zeros((0, 7)), 4)
 
     state = fleet_mod.init_fleet(groups, specs, x0s, [w[:, 0] for w in wps])
@@ -95,8 +104,12 @@ def main():
     wall = time.perf_counter() - t0
     total_steps = args.n * iters * args.chunk
     stats = fleet_mod.fleet_stats(groups, state)
+    # mean route progress: waypoint index per robot (4 = route done)
+    prog = [float(np.mean(np.asarray(t.goal_idx))) for t in state.trackers]
     print(f"{args.n} agents x {iters * args.chunk} steps: {wall:.2f}s "
           f"({total_steps / wall:,.0f} agent-steps/s)")
+    print(f"mean waypoint progress per family (of 4): "
+          f"{[round(p, 2) for p in prog]}")
     print(stats)
 
 

@@ -1,12 +1,20 @@
 """Unknown-environment tracking example (examples/test_unknown_env.py analog).
 
-Usage:  python examples/test_unknown_env.py --algo cbf_qp [--render]
+Usage:
+    python examples/test_unknown_env.py --model du --algo mpc_cbf \
+        --att_algo velocity_tracking_yaw --unknown_detection fov [--render]
 
-The robot navigates an indoor course where most obstacles are UNKNOWN: it
-only learns about them through RGB-D FoV detection with persistent memory
-(reference robots/robot.py:773-834, utils/detection.py).  Success iff all
-waypoints are reached with no collision/infeasibility — the reference
-predicate (test_unknown_env.py:330-335).
+Full reference parity: the indoor course (8 waypoints with sharp turns,
+interior superellipsoid walls, known furniture, 24 unknown pillars placed on
+the route corridors — reference test_unknown_env.py:7-103), the per-model
+robot specs (:105-188), the algo tuning (:191-209), and the CLI axes
+``--model si|di|un|du|kb|quad --algo cbf_qp|mpc_cbf --att_algo ...
+--unknown_detection fov|ray --tf`` (:211-243).  The robot only learns about
+unknown obstacles through RGB-D FoV/ray detection; success iff all waypoints
+are reached with no collision/infeasibility (:330-335).
+
+Runs through the public ``LocalTrackingController`` wrapper (the reference
+API surface), which owns the jitted functional tracker.
 """
 
 import argparse
@@ -18,105 +26,193 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# Indoor scenario (reference test_unknown_env.py:7-96 layout, condensed):
-# a corridor course with known superellipsoid walls and unknown pillars.
-WAYPOINTS = np.array(
-    [
-        [2.0, 2.0, math.pi / 2],
-        [2.0, 15.0, 0.0],
-        [9.4, 15.0, -math.pi / 2],
-        [9.4, 5.0, 0.0],
-        [16.6, 5.0, math.pi / 2],
-        [16.6, 13.0, 0.0],
-    ]
-)
-E_WALL = 6.0
-KNOWN_OBS = np.vstack(
-    [
-        np.hstack(
-            [
-                np.array([[4.0, 4.0, 0.60], [8.0, 3.0, 0.55], [14.5, 14.8, 0.75]]),
-                np.zeros((3, 4)),
-            ]
-        ),
-        np.array(
-            [
-                [6.0, 8.0, 0.22, 6.0, E_WALL, 0.0, 1.0],
-                [7.4, 11.0, 1.4, 0.18, E_WALL, 0.0, 1.0],
-                [12.8, 11.0, 1.4, 0.18, E_WALL, 0.0, 1.0],
-                [13.0, 11.0, 0.18, 5.5, E_WALL, 0.0, 1.0],
-                [4.3, 11.2, 0.90, 0.50, 6.0, np.pi / 10, 1.0],
-            ]
-        ),
-    ]
-)
-UNKNOWN_OBS = np.array(
-    [
-        [2.45, 4.3, 0.19], [1.60, 7.0, 0.19], [2.40, 10.2, 0.19],
-        [1.65, 13.1, 0.19], [3.5, 14.6, 0.19], [6.0, 15.35, 0.19],
-        [8.3, 14.6, 0.19], [8.95, 13.3, 0.19], [9.85, 10.8, 0.19],
-        [8.95, 8.0, 0.19], [9.85, 6.0, 0.19], [10.9, 5.45, 0.19],
-        [13.0, 4.55, 0.19], [15.1, 5.45, 0.19], [16.15, 6.8, 0.19],
-    ]
-)
+MODEL_MAP = {
+    "si": "SingleIntegrator2D",
+    "di": "DoubleIntegrator2D",
+    "un": "Unicycle2D",
+    "du": "DynamicUnicycle2D",
+    "kb": "KinematicBicycle2D",
+    "quad": "Quad2D",
+}
+
+
+def build_indoor_env():
+    """Reference course, un-condensed (test_unknown_env.py:7-103)."""
+    env_width, env_height = 24.0, 18.0
+    waypoints = np.array(
+        [
+            [2.0, 2.0, math.pi / 2],
+            [2.0, 15.0, 0.0],
+            [9.4, 15.0, -math.pi / 2],
+            [9.4, 5.0, 0.0],
+            [16.6, 5.0, math.pi / 2],
+            [16.6, 13.0, 0.0],
+            [22.0, 13.0, -math.pi / 2],
+            [22.0, 3.0, 0.0],
+        ]
+    )
+    e_wall = 6.0
+    interior_walls = np.array(
+        [
+            [6.0, 8.0, 0.22, 6.0, e_wall, 0.0, 1.0],
+            [7.4, 11.0, 1.4, 0.18, e_wall, 0.0, 1.0],
+            [12.8, 11.0, 1.4, 0.18, e_wall, 0.0, 1.0],
+            [13.0, 11.0, 0.18, 5.5, e_wall, 0.0, 1.0],
+            [14.7, 7.0, 1.3, 0.18, e_wall, 0.0, 1.0],
+            [18.6, 7.0, 1.0, 0.18, e_wall, 0.0, 1.0],
+            [19.0, 7.0, 0.18, 5.5, e_wall, 0.0, 1.0],
+        ]
+    )
+    known_circles = np.hstack(
+        [
+            np.array(
+                [[4.0, 4.0, 0.60], [8.0, 3.0, 0.55], [14.5, 14.8, 0.75],
+                 [20.8, 6.5, 0.65]]
+            ),
+            np.zeros((4, 4)),
+        ]
+    )
+    known_furniture = np.array(
+        [
+            [4.3, 11.2, 0.90, 0.50, 6.0, np.pi / 10, 1.0],
+            [15.2, 3.0, 0.95, 0.40, 4.0, -np.pi / 7, 1.0],
+            [20.9, 10.9, 0.80, 0.55, 6.0, np.pi / 7, 1.0],
+        ]
+    )
+    known_obs = np.vstack([known_circles, interior_walls, known_furniture])
+    unknown_obs = np.array(
+        [
+            [2.45, 4.3, 0.19], [1.60, 7.0, 0.19], [2.40, 10.2, 0.19],
+            [1.65, 13.1, 0.19],
+            [3.5, 14.6, 0.19], [6.0, 15.35, 0.19], [8.3, 14.6, 0.19],
+            [8.95, 13.3, 0.19], [9.85, 10.8, 0.19], [8.95, 8.0, 0.19],
+            [9.85, 6.0, 0.19],
+            [10.9, 5.45, 0.19], [13.0, 4.55, 0.19], [15.1, 5.45, 0.19],
+            [16.15, 6.8, 0.19], [17.05, 9.0, 0.19], [16.15, 11.2, 0.19],
+            [18.2, 12.6, 0.19], [20.2, 13.4, 0.19], [21.4, 12.6, 0.19],
+            [21.55, 11.0, 0.19], [22.45, 8.8, 0.19], [21.55, 6.3, 0.19],
+            [22.45, 4.2, 0.19],
+        ]
+    )
+    return env_width, env_height, waypoints, known_obs, unknown_obs
+
+
+def get_robot_spec(model, unknown_detection):
+    """Per-model specs (reference test_unknown_env.py:105-188)."""
+    specs = {
+        "SingleIntegrator2D": {"v_max": 1.0, "radius": 0.25, "sensor": "rgbd"},
+        "DoubleIntegrator2D": {
+            "v_max": 1.5, "a_max": 1.8, "radius": 0.23, "sensor": "rgbd",
+            "fov_angle": 70.0, "cam_range": 4.5, "num_constraints": 10,
+            "reached_threshold": 0.45, "nominal_k_v": 1.8, "nominal_k_a": 2.0,
+        },
+        "Unicycle2D": {"w_max": 0.5, "a_max": 0.5, "radius": 0.25, "sensor": "rgbd"},
+        "DynamicUnicycle2D": {
+            "w_max": 0.8, "a_max": 1.3, "v_max": 1.4, "radius": 0.23,
+            "sensor": "rgbd", "num_constraints": 6, "reached_threshold": 0.45,
+            "nominal_k_v": 1.6, "nominal_k_a": 1.8, "nominal_k_omega": 2.8,
+        },
+        "KinematicBicycle2D": {"a_max": 0.5, "radius": 0.50, "sensor": "rgbd"},
+        "Quad2D": {"f_min": 3.0, "f_max": 10.0, "radius": 0.25, "sensor": "rgbd"},
+    }
+    spec = dict(specs[model])
+    spec["model"] = model
+    if spec.get("sensor") == "rgbd":
+        spec.setdefault("fov_angle", 90.0)
+        spec.setdefault("cam_range", 4.5)
+        spec["unknown_obs_detection"] = unknown_detection
+    return spec
+
+
+def apply_algo_tuning(robot_spec, algo):
+    """Reference test_unknown_env.py:191-209."""
+    model = robot_spec.get("model")
+    if model not in ("DynamicUnicycle2D", "DoubleIntegrator2D"):
+        return robot_spec
+    if algo == "cbf_qp":
+        robot_spec["cbf_alpha1"] = 1.5
+        robot_spec["cbf_alpha2"] = 1.5
+    elif algo == "mpc_cbf":
+        if model == "DoubleIntegrator2D":
+            robot_spec["mpc_horizon"] = 9
+            robot_spec["mpc_cbf_alpha1"] = 0.32
+            robot_spec["mpc_cbf_alpha2"] = 0.32
+        else:
+            robot_spec["mpc_horizon"] = 7
+            robot_spec["mpc_cbf_alpha1"] = 0.26
+            robot_spec["mpc_cbf_alpha2"] = 0.26
+    return robot_spec
 
 
 def main():
-    parser = argparse.ArgumentParser(description="Tracking in an unknown env.")
-    parser.add_argument("--algo", default="cbf_qp", choices=["cbf_qp", "mpc_cbf"])
+    parser = argparse.ArgumentParser(
+        description="Unknown-obstacle tracking in an indoor-like environment."
+    )
+    parser.add_argument("--model", default="du", choices=list(MODEL_MAP))
+    parser.add_argument("--algo", default="mpc_cbf", choices=["cbf_qp", "mpc_cbf"])
+    parser.add_argument(
+        "--att_algo", default="velocity_tracking_yaw",
+        choices=["simple", "velocity_tracking_yaw", "visibility_area",
+                 "visibility_raycast", "gatekeeper"],
+    )
+    parser.add_argument("--unknown_detection", default="fov", choices=["fov", "ray"])
     parser.add_argument("--render", action="store_true")
     parser.add_argument("--tf", type=float, default=120.0)
     args = parser.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-
-    from safe_control_tpu.core.spec import DOUBLE_INTEGRATOR_2D, make_spec
-    from safe_control_tpu.core.types import pad_obstacles
+    from safe_control_tpu.envs.env import Env
     from safe_control_tpu.sim import tracking
+    from safe_control_tpu.sim.controller import LocalTrackingController
 
-    spec = make_spec(
-        DOUBLE_INTEGRATOR_2D, v_max=1.5, a_max=1.8, radius=0.23,
-        fov_angle=math.radians(70.0), cam_range=4.5,
-        nominal_k_v=1.8, nominal_k_a=2.0, reached_threshold=0.45,
+    W, H, waypoints, known_obs, unknown_obs = build_indoor_env()
+    model = MODEL_MAP[args.model]
+    robot_spec = apply_algo_tuning(get_robot_spec(model, args.unknown_detection),
+                                   args.algo)
+    env = Env(width=W, height=H, known_obs=known_obs, resolution=0.2)
+    x0 = list(waypoints[0][:2]) + [waypoints[0][2]]
+    ctrl = LocalTrackingController(
+        x0, robot_spec,
+        controller_type={"pos": args.algo, "att": args.att_algo},
+        dt=0.05, env=env, enable_rotation=True,
     )
-    cfg = tracking.TrackerConfig(
-        model_name=DOUBLE_INTEGRATOR_2D, pos_controller=args.algo, dt=0.05,
-        num_obs=10, use_sensor=True, mem_slots=24, reached_threshold=0.45,
-    )
-    known = pad_obstacles(jnp.asarray(KNOWN_OBS), 12)
-    unknown = pad_obstacles(jnp.asarray(UNKNOWN_OBS), 16)
-    wps = jnp.asarray(WAYPOINTS[:, :2], dtype=jnp.float32)
-    st = tracking.init_state(
-        cfg, spec, jnp.array([2.0, 2.0, 0.0, 0.0]), math.pi / 2,
-        first_goal=WAYPOINTS[0][:2],
-    )
-    run = jax.jit(
-        lambda st: tracking.run(
-            cfg, spec, st, wps, jnp.asarray(len(WAYPOINTS)), known,
-            n_steps=int(args.tf / cfg.dt), unknown_obs=unknown,
-        )
-    )
-    final, traj = run(st)
-    rets = np.asarray(traj["ret"])
+    ctrl.obs = np.hstack([known_obs, np.zeros((len(known_obs), 7 - known_obs.shape[1]))]) \
+        if known_obs.shape[1] < 7 else known_obs
+    ctrl.set_unknown_obs(unknown_obs)
+    ctrl.set_waypoints(waypoints)
+
+    rets = []
+    traj = []
+    for _ in range(int(args.tf / 0.05)):
+        ret = ctrl.control_step()
+        rets.append(ret)
+        traj.append(ctrl.robot_state.copy())
+        if ret in (tracking.RET_DONE, tracking.RET_INFEASIBLE):
+            break
+    rets = np.asarray(rets)
     collided = bool(np.any(rets == tracking.RET_INFEASIBLE))
-    done = int(final.ret) == tracking.RET_DONE
-    detected = int(final.mem.valid.sum())
-    print(f"waypoints reached: {done}, collision/infeasible: {collided}, "
-          f"unknown obstacles detected: {detected}/{len(UNKNOWN_OBS)}")
+    done = rets[-1] == tracking.RET_DONE
+    violations = int(np.sum(rets == tracking.RET_VISIBILITY))
+    detected = int(np.asarray(ctrl.state.mem.valid).sum())
+    print(
+        f"model={model} algo={args.algo} att={args.att_algo} "
+        f"detection={args.unknown_detection}: waypoints reached: {bool(done)}, "
+        f"collision/infeasible: {collided}, visibility violations: {violations}, "
+        f"unknown obstacles in memory: {detected}/{len(unknown_obs)}"
+    )
     print("Success!" if done and not collided else "Failed!")
 
     if args.render:
+        from matplotlib.patches import Circle
+
         from safe_control_tpu.viz.plotting import Plotting
 
-        plot = Plotting(18.0, 17.0, KNOWN_OBS)
-        ax, fig = plot.plot_grid(f"Unknown env ({args.algo})")
-        for ob in UNKNOWN_OBS:
-            ax.add_patch(__import__("matplotlib.patches", fromlist=["Circle"])
-                         .Circle(ob[:2], ob[2], ec="orange", fc="none", ls="--"))
-        plot.plot_waypoints(ax, WAYPOINTS)
-        plot.plot_trajectory(ax, np.asarray(traj["x"]))
-        out = f"unknown_env_{args.algo}.png"
+        plot = Plotting(W, H, known_obs)
+        ax, fig = plot.plot_grid(f"Unknown env ({model}, {args.algo})")
+        for ob in unknown_obs:
+            ax.add_patch(Circle(ob[:2], ob[2], ec="orange", fc="none", ls="--"))
+        plot.plot_waypoints(ax, waypoints)
+        plot.plot_trajectory(ax, np.asarray(traj))
+        out = f"unknown_env_{args.model}_{args.algo}.png"
         fig.savefig(out, dpi=120)
         print(f"saved {out}")
 

@@ -23,49 +23,119 @@ OBS_RADIUS = 7.0
 
 
 def _ghost_table(level) -> list:
+    """Exact ghost tables for every level (warehouse_env.py:60-266).
+
+    The constants and the SEQUENTIAL level-6 reshuffle semantics are
+    reproduced verbatim as behavioral parameters: in the reference's
+    reshuffle loop each ghost passes through every ``if`` in order, so an
+    earlier rewrite can trigger a later rule on the same ghost (e.g. the
+    (5,30) sweeper first moves to y=25, then the left-boundary-relief rule
+    for (5,25) flips it to start at x=95).
+    """
     s = str(level).lower()
     lvl = 3 if s == "hero" else int(level)
     g = []
     add = lambda x, y, vx, vy: g.append([x, y, vx, vy, GHOST_RADIUS])
     if lvl == 0:
-        pass
-    elif lvl == 1:  # (:91-96)
+        return g
+    if lvl == 1:  # (:91-97)
         add(95, 50, -4.0, 0.0)
         add(50, 5, 0.0, 4.0)
         add(5, 70, 4.0, 0.0)
-    elif lvl == 2:  # (:99-106)
+        return g
+    if lvl == 2:  # (:99-106)
         add(95, 50, -4.0, 0.0)
         add(50, 5, 0.0, 4.0)
         add(5, 70, 2.5, 0.0)
         add(30, 95, 0.0, -4.0)
         add(90, 90, -2.0, -2.0)
-    else:  # hero layouts (:131-166)
-        speed = {3: 2.5, 4: 3.0, 5: 3.0}.get(lvl, 3.5)
-        add(95, 50, -speed, 0.0)
-        add(50, 5, 0.0, speed)
-        add(5, 70, speed, 0.0)
-        add(30, 95, 0.0, -speed)
-        add(90, 90, -speed * 0.7, -speed * 0.7)
-        add(95, 10, -speed, 0.0)
-        add(5, 30, speed, 0.0)
-        add(95, 90, -speed, 0.0)
-        add(10, 95, 0.0, -speed)
-        add(70, 5, 0.0, speed)
-        if lvl >= 4:
-            s_slow = 1.5
-            add(20, 15, s_slow, 0.0)
-            add(80, 85, -s_slow, 0.0)
-            add(20, 80, speed, -speed)
-        if lvl >= 5:
-            add(80, 20, -speed, speed)
-            add(5, 40, speed * 0.8, 0.0)
-            add(95, 60, -speed * 0.8, 0.0)
-        # y=70 sweeper slow-down for feasibility (:168-172)
-        if lvl in (3, 4, 5):
-            tgt = 1.5 if lvl == 3 else 2.5
-            for row in g:
-                if abs(row[1] - 70.0) < 1e-6 and abs(row[3]) < 1e-9:
-                    row[2] = tgt if row[2] > 0 else -tgt
+        return g
+
+    # Hero layouts, lvl >= 3 (:108-266).
+    speed = {3: 2.5, 4: 3.0, 5: 3.0, 6: 2.7}.get(lvl, 2.6)
+    num_extra = {3: 0, 4: 3, 5: 6, 6: 10}.get(lvl, 0)
+    # Main 11 (:134-150)
+    add(95, 50, -speed, 0.0)
+    add(50, 5, 0.0, speed)
+    add(5, 70, speed, 0.0)
+    add(30, 95, 0.0, -speed)
+    add(90, 90, -speed * 0.7, -speed * 0.7)
+    add(95, 10, -speed, 0.0)
+    add(5, 30, speed, 0.0)
+    add(95, 90, -speed, 0.0)
+    add(10, 95, 0.0, -speed)
+    add(70, 5, 0.0, speed)
+    add(90, 95, 0.0, -speed)
+    # Level 4 additions (:153-160)
+    if num_extra >= 3:
+        add(20, 20, 1.5, 1.5)
+        add(80, 80, -1.5, -1.5)
+        add(20, 80, speed, -speed)
+    # Level 5 additions (:162-168)
+    if num_extra >= 6:
+        add(80, 20, -speed, speed)
+        add(5, 40, speed * 0.8, 0.0)
+        add(95, 60, -speed * 0.8, 0.0)
+    # Levels 3-5: y=70 sweeper slow-down (:170-175)
+    if lvl in (3, 4, 5):
+        tgt = 1.5 if lvl == 3 else 2.5
+        for row in g:
+            if abs(row[1] - 70.0) < 1e-6 and abs(row[3]) < 1e-9:
+                row[2] = tgt if row[2] > 0 else -tgt
+    # Levels 4-5: slow-blocker shift off the diagonal (:177-185)
+    if lvl in (4, 5):
+        for row in g:
+            if abs(row[0] - 20.0) < 1e-6 and abs(row[1] - 20.0) < 1e-6:
+                row[1], row[3] = 15.0, 0.0
+            if abs(row[0] - 80.0) < 1e-6 and abs(row[1] - 80.0) < 1e-6:
+                row[1], row[3] = 85.0, 0.0
+    # Level 6 additions, "super dense" (:187-201)
+    if num_extra >= 10:
+        add(5, 15, speed * 0.9, 0.0)
+        add(95, 80, -speed * 0.9, 0.0)
+        add(20, 95, 0.0, -speed * 0.9)
+        add(80, 5, 0.0, speed * 0.9)
+        add(15, 85, speed * 0.7, -speed * 0.7)
+        add(85, 15, -speed * 0.7, speed * 0.7)
+        add(35, 5, 0.0, speed * 0.9)
+        add(75, 95, 0.0, -speed * 0.9)
+        add(95, 30, -speed * 0.9, 0.0)
+        add(5, 65, speed * 0.9, 0.0)
+        add(50, 10, 0.0, speed * 0.45)
+    # Level 7 additions, cross-flow (:203-224)
+    if lvl >= 7:
+        fs = speed * 0.8
+        for y in (44.0, 58.0, 72.0, 86.0):
+            add(5, y, fs, 0.0)
+        for x in (44.0, 58.0, 72.0, 86.0):
+            add(x, 5, 0.0, fs)
+        add(5, 54, fs, -fs * 0.4)
+        add(54, 5, -fs * 0.4, fs)
+        add(40, 5, 0.0, fs * 1.1)
+        add(6, 40, fs * 1.1, 0.0)
+        add(95, 34, -fs * 1.1, 0.0)
+        add(95, 30, -speed, 0.0)
+        add(66, 80, 0.0, -fs * 1.2)
+        add(66, 60, 0.0, fs * 1.2)
+        add(20, 70, speed * 1.02, 0.0)
+    # Level >= 6 sequential reshuffle (:227-266).
+    if lvl >= 6:
+        for row in g:
+            if abs(row[0] - 5.0) < 1e-6 and abs(row[1] - 30.0) < 1e-6:
+                row[1] = 25.0
+            if abs(row[0] - 20.0) < 1e-6 and abs(row[1] - 20.0) < 1e-6:
+                row[0], row[1], row[3] = 45.0, 25.0, 0.0
+            if abs(row[0] - 50.0) < 1e-6 and abs(row[1] - 5.0) < 1e-6:
+                row[0] = 95.0
+            if abs(row[0] - 70.0) < 1e-6 and abs(row[1] - 5.0) < 1e-6:
+                row[0] = 25.0
+            if abs(row[1] - 50.0) < 1e-6 and abs(row[3]) < 1e-9 and row[2] < 0:
+                row[1] = 55.0
+            if abs(row[0] - 80.0) < 1e-6 and abs(row[1] - 80.0) < 1e-6:
+                row[1], row[3] = 85.0, 0.0
+            for y_relief in (15.0, 25.0, 40.0, 65.0, 70.0):
+                if abs(row[0] - 5.0) < 1e-6 and abs(row[1] - y_relief) < 1e-6:
+                    row[0], row[2] = 95.0, -abs(row[2])
     return g
 
 
