@@ -15,6 +15,19 @@ sharded layout — the fixed cost the mesh must amortize.
 Prints ONE JSON line per mesh size:
   {"metric": "mpc_cbf_scaling", "n_devices": n, "value": solves_per_sec,
    "per_device": ..., "efficiency": ..., "dispatch_overhead_ms": ...}
+
+VALIDITY.  On a virtual CPU mesh every "device" shares the host's physical
+cores, so weak-scaling "efficiency" measures compute oversubscription, NOT
+communication/driver overhead — at 8 virtual devices on a 2-core host it is
+~cores/n_devices by construction.  Records produced on such a mesh carry
+``compute_bound_virtual_mesh: true`` and ``valid_for_baseline_target:
+false`` so they cannot masquerade as the >=85%-at-2-hosts BASELINE metric,
+and additionally report ``aggregate_throughput_retention`` = tps(n)/tps(1),
+which IS meaningful there: it shows the sharding machinery adds no overhead
+beyond the fixed compute (1.0 = perfectly flat).  The real metric comes from
+running this same script unmodified on a multi-chip TPU slice (each mesh
+device = one real chip), where efficiency(2)/1.0 maps onto the 2-host
+target.
 """
 
 from __future__ import annotations

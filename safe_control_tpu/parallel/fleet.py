@@ -22,8 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from safe_control_tpu.core import spec as spec_mod
 from safe_control_tpu.core.types import dummy_obstacle
 from safe_control_tpu.dynamics import get_model
+from safe_control_tpu.shielding import gatekeeper as gk_mod
 from safe_control_tpu.sim import tracking
 
 
@@ -135,6 +137,250 @@ def step_fleet(
                 jax.vmap(one, in_axes=(0, 0, None))(st, obs_batch, wps)
             )
     return FleetState(trackers=tuple(new_states))
+
+
+# ===================== gatekeeper-shielded fleets ==========================
+# BASELINE anchor config 5 is "heterogeneous 4k-agent fleet WITH GATEKEEPER
+# SHIELDING".  Architecture mirrors the reference's shielded examples
+# (drift/evade): the gatekeeper OWNS the applied control — nominal = the
+# PD waypoint-tracking policy, backup = the stopping policy
+# (/root/reference/position_control/backup_controller.py:261-417), and the
+# per-robot commitment machinery is shielding/gatekeeper.py:553-665 made
+# batched: the per-robot ``GatekeeperState`` vmaps, and the moving-obstacle
+# check is the other robots under constant-velocity prediction — the same
+# prediction model the reference's DriftingEnv publishes for its obstacle
+# cars (envs/drifting_env.py:486-673).
+
+
+@dataclasses.dataclass(frozen=True)
+class ShieldedGroup:
+    """One homogeneous sub-fleet under gatekeeper shielding."""
+
+    model_name: str
+    count: int
+    gk: gk_mod.GatekeeperConfig
+    robot_radius: float = 0.25
+    reached_threshold: float = 0.3
+    safety_margin: float = 0.1  # inter-robot margin on top of radii sum
+
+
+class ShieldedFleetState(NamedTuple):
+    x: Tuple[jnp.ndarray, ...]  # per group (count, n)
+    goal_idx: Tuple[jnp.ndarray, ...]  # per group (count,) int32
+    gk: Tuple[gk_mod.GatekeeperState, ...]  # per group, vmapped
+    backup_steps: Tuple[jnp.ndarray, ...]  # per group (count,) int32 cumulative
+    commits: Tuple[jnp.ndarray, ...]  # per group (count,) int32 cumulative
+
+
+def _brake_policy(model_name: str, spec, dt: float):
+    """Deadbeat full brake: reach v = 0 *inside* the validated backup window.
+
+    ``model.stop`` is the reference's exponential law u = -k v, which never
+    actually stops — past the validated backup horizon the robot keeps
+    creeping (v0 e^{-kT} after T seconds), and two creeping robots close the
+    gap the validation promised.  The reference's StoppingController brakes
+    to zero and HOLDS (backup_controller.py:261-417); the discrete-time
+    equivalent is u = -v/dt clipped to the actuator limit, which parks the
+    robot in ceil(v0 / (a_max dt)) steps and stays parked.
+    """
+    if model_name == spec_mod.DOUBLE_INTEGRATOR_2D:
+        def brake(x):
+            a = -x[2:4] / dt
+            mag = jnp.linalg.norm(a)
+            return a * jnp.where(
+                mag > spec.a_max, spec.a_max / jnp.maximum(mag, 1e-9), 1.0
+            )
+        return brake
+    if model_name in (
+        spec_mod.DYNAMIC_UNICYCLE_2D,
+        spec_mod.KINEMATIC_BICYCLE_2D,
+        spec_mod.KINEMATIC_BICYCLE_2D_C3BF,
+        spec_mod.KINEMATIC_BICYCLE_2D_DPCBF,
+    ):
+        def brake(x):
+            a = jnp.clip(-x[3] / dt, -spec.a_max, spec.a_max)
+            return jnp.array([a, 0.0], dtype=x.dtype)
+        return brake
+    model = get_model(model_name)
+    return lambda x: model.stop(x, spec)
+
+
+def _planar_velocity(model_name: str, x):
+    """Ground-plane velocity for constant-velocity neighbor prediction."""
+    if model_name == spec_mod.DOUBLE_INTEGRATOR_2D:
+        return x[2:4]
+    if model_name in (
+        spec_mod.DYNAMIC_UNICYCLE_2D,
+        spec_mod.KINEMATIC_BICYCLE_2D,
+        spec_mod.KINEMATIC_BICYCLE_2D_C3BF,
+        spec_mod.KINEMATIC_BICYCLE_2D_DPCBF,
+    ):
+        return x[3] * jnp.array([jnp.cos(x[2]), jnp.sin(x[2])])
+    return jnp.zeros(2, dtype=x.dtype)
+
+
+def init_shielded_fleet(
+    groups: List[ShieldedGroup], x0s: List[jnp.ndarray]
+) -> ShieldedFleetState:
+    xs, gidx, gks, bsteps, commits = [], [], [], [], []
+    for g, x0 in zip(groups, x0s):
+        xs.append(jnp.asarray(x0))
+        gidx.append(jnp.zeros((g.count,), jnp.int32))
+        gks.append(
+            jax.vmap(lambda _: gk_mod.init_state(g.gk))(jnp.arange(g.count))
+        )
+        bsteps.append(jnp.zeros((g.count,), jnp.int32))
+        commits.append(jnp.zeros((g.count,), jnp.int32))
+    return ShieldedFleetState(
+        x=tuple(xs), goal_idx=tuple(gidx), gk=tuple(gks),
+        backup_steps=tuple(bsteps), commits=tuple(commits),
+    )
+
+
+def step_fleet_shielded(
+    groups: List[ShieldedGroup],
+    specs,
+    state: ShieldedFleetState,
+    waypoints_list,  # per group (count, W, 2)
+    n_waypoints_list,
+    known_obs,  # (Kk, 7) padded static obstacles
+    n_steps: int = 1,
+    k_neighbors: int = 4,
+) -> ShieldedFleetState:
+    """Advance every group ``n_steps`` under per-robot gatekeeper shielding.
+
+    Neighbor snapshot (position + velocity + radius) is taken once per chunk;
+    inside the chunk each robot's collision check predicts neighbors forward
+    by (substep + rollout offset) * dt, so commitments stay time-synchronized
+    exactly like the reference's ``moving_obstacles(t)`` callable
+    (shielding/gatekeeper.py:380-527).
+    """
+    # ---- fleet-wide snapshot: (total, 5) rows [x, y, vx, vy, radius] ------
+    rows = []
+    for g, st_x in zip(groups, state.x):
+        model = get_model(g.model_name)
+        pos = jax.vmap(model.barrier_pos)(st_x)
+        vel = jax.vmap(lambda xr: _planar_velocity(g.model_name, xr))(st_x)
+        rows.append(
+            jnp.concatenate(
+                [pos, vel, jnp.full((g.count, 1), g.robot_radius)], axis=1
+            )
+        )
+    allrows = jnp.concatenate(rows, axis=0)
+    total = allrows.shape[0]
+    offs = np.cumsum([0] + [g.count for g in groups])
+
+    new_x, new_gidx, new_gk, new_bk, new_cm = [], [], [], [], []
+    for gi, (g, spec) in enumerate(zip(groups, specs)):
+        model = get_model(g.model_name)
+        dt = g.gk.dt
+        wps = waypoints_list[gi]
+        n_wps = n_waypoints_list[gi]
+        W = wps.shape[1]
+
+        # nearest-K neighbors (self excluded by global index)
+        self_idx = offs[gi] + jnp.arange(g.count)
+        pos_g = jax.vmap(model.barrier_pos)(state.x[gi])
+        d = jnp.linalg.norm(
+            allrows[None, :, :2] - pos_g[:, None, :], axis=-1
+        )  # (count, total)
+        d = d.at[jnp.arange(g.count), self_idx].set(jnp.inf)
+        k = min(k_neighbors, total - 1)
+        _, nbr_idx = jax.lax.top_k(-d, k)
+        nbrs = allrows[nbr_idx]  # (count, k, 5)
+
+        def one(x, gk_st, goal_idx, bk, cm, nbr, wps_r):
+            def body(carry, s):
+                x, gk_st, goal_idx, bk, cm = carry
+                wp = wps_r[jnp.clip(goal_idx, 0, W - 1)]
+
+                def nominal_policy(xx):
+                    return model.nominal_input(xx, wp, spec)
+
+                backup_policy = _brake_policy(g.model_name, spec, dt)
+
+                def collision_fn(xx, t_idx):
+                    p = model.barrier_pos(xx)
+                    static_hit = tracking.collision_any(
+                        spec.replace(radius=g.robot_radius), p, known_obs
+                    )
+                    t_abs = (s + t_idx).astype(p.dtype) * dt
+                    np_t = nbr[:, :2] + nbr[:, 2:4] * t_abs
+                    dist = jnp.linalg.norm(np_t - p, axis=1)
+                    robot_hit = jnp.any(
+                        dist < nbr[:, 4] + g.robot_radius + g.safety_margin
+                    )
+                    return static_hit | robot_hit
+
+                out = gk_mod.step(
+                    g.gk, spec, gk_st, x, backup_policy, collision_fn,
+                    nominal_policy=nominal_policy,
+                )
+                x1 = model.step(x, out.u, spec, dt)
+                reached = (
+                    jnp.linalg.norm(model.barrier_pos(x1) - wp)
+                    < g.reached_threshold
+                ) & (goal_idx < n_wps)
+                goal_idx = jnp.where(reached, goal_idx + 1, goal_idx)
+                bk = bk + out.using_backup.astype(jnp.int32)
+                cm = cm + out.candidate_found.astype(jnp.int32)
+                return (x1, out.state, goal_idx, bk, cm), None
+
+            carry, _ = jax.lax.scan(
+                body, (x, gk_st, goal_idx, bk, cm), jnp.arange(n_steps)
+            )
+            return carry
+
+        x1, gk1, gidx1, bk1, cm1 = jax.vmap(one)(
+            state.x[gi], state.gk[gi], state.goal_idx[gi],
+            state.backup_steps[gi], state.commits[gi], nbrs, wps,
+        )
+        new_x.append(x1)
+        new_gk.append(gk1)
+        new_gidx.append(gidx1)
+        new_bk.append(bk1)
+        new_cm.append(cm1)
+    return ShieldedFleetState(
+        x=tuple(new_x), goal_idx=tuple(new_gidx), gk=tuple(new_gk),
+        backup_steps=tuple(new_bk), commits=tuple(new_cm),
+    )
+
+
+def shielded_fleet_stats(
+    groups: List[ShieldedGroup], state: ShieldedFleetState
+) -> Dict[str, float]:
+    out: Dict[str, float] = dict(total=0, backup_steps=0, commits=0,
+                                 mean_goal_idx=0.0)
+    for g, gidx, bk, cm in zip(
+        groups, state.goal_idx, state.backup_steps, state.commits
+    ):
+        out["total"] += g.count
+        out["backup_steps"] += int(np.sum(np.asarray(bk)))
+        out["commits"] += int(np.sum(np.asarray(cm)))
+        out["mean_goal_idx"] += float(np.sum(np.asarray(gidx)))
+    out["mean_goal_idx"] /= max(out["total"], 1)
+    return out
+
+
+def min_pairwise_clearance(
+    groups: List[ShieldedGroup], state: ShieldedFleetState
+) -> float:
+    """min over robot pairs of (distance - radii sum); > 0 means no
+    robot-robot collision in the current configuration."""
+    rows = []
+    for g, st_x in zip(groups, state.x):
+        model = get_model(g.model_name)
+        pos = jax.vmap(model.barrier_pos)(st_x)
+        rows.append(
+            jnp.concatenate(
+                [pos, jnp.full((g.count, 1), g.robot_radius)], axis=1
+            )
+        )
+    allp = jnp.concatenate(rows, axis=0)
+    d = jnp.linalg.norm(allp[None, :, :2] - allp[:, None, :2], axis=-1)
+    rsum = allp[None, :, 2] + allp[:, None, 2]
+    clear = d - rsum + jnp.diag(jnp.full(allp.shape[0], jnp.inf))
+    return float(jnp.min(clear))
 
 
 def fleet_stats(groups: List[FleetGroup], state: FleetState) -> Dict[str, float]:

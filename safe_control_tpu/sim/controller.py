@@ -90,7 +90,12 @@ class LocalTrackingController:
         self._x0 = X0
         self._yaw0 = yaw0
 
-        horizon = int(robot_spec.get("mpc_horizon", 10))
+        # The reference auto-selects N=30 for VTOL2D and 10 otherwise
+        # (position_control/mpc_cbf.py:15, 41); mirroring that here keeps
+        # wrapper users from silently running VTOL at a third of the
+        # reference's planning horizon.
+        default_horizon = 30 if self.model_name == "VTOL2D" else 10
+        horizon = int(robot_spec.get("mpc_horizon", default_horizon))
         # Manipulator2D defaults to 150 constraint slots (5 obs x 30 link
         # circles, tracking.py:131-136); everyone else to 10.
         default_constraints = 150 if self.model_name == "Manipulator2D" else 10
@@ -172,6 +177,9 @@ class LocalTrackingController:
             visibility_mode=str(
                 robot_spec.get("visibility_violation_mode", "safety_area")
             ).lower(),
+            strict_mpc_feasibility=bool(
+                robot_spec.get("strict_mpc_feasibility", False)
+            ),
             gk_att=gk_att,
         )
 

@@ -98,6 +98,11 @@ class TrackerConfig:
     # against the RAW spec value like tracking.py:493 (vacuous at the 15.0-
     # degree default); 'strict' converts degrees->radians first.
     vtol_pitch_oracle: str = "reference"
+    # MPC feasibility verdict.  The reference hardcodes status='optimal'
+    # (mpc_cbf.py:10 TODO) so MPC stress can never fail a run; False
+    # reproduces that.  True feeds MPCResult.feasible into the step verdict,
+    # so genuine MPC infeasibility returns RET_INFEASIBLE like a failed QP.
+    strict_mpc_feasibility: bool = False
     # Yaw-gatekeeper attitude shielding (attitude/gatekeeper_att.py).
     gk_att: gk_att_mod.GatekeeperAttConfig = gk_att_mod.GatekeeperAttConfig()
 
@@ -406,10 +411,14 @@ def step(
         # (mpc_cbf.py:379-381).
         u = jnp.where(mode == TRACK, res.u, u_ref)
         # Reference parity: MPC status is hardcoded 'optimal' (mpc_cbf.py:10),
-        # so solver stress NEVER fails a run — the best-effort control is
-        # applied and only an actual collision triggers -2.  res.feasible
-        # stays available in StepOutput for stricter callers.
-        feasible = jnp.asarray(True)
+        # so by default solver stress NEVER fails a run — the best-effort
+        # control is applied and only an actual collision triggers -2.  The
+        # strict mode (cfg.strict_mpc_feasibility) instead lets genuine
+        # infeasibility fail the step like a failed QP would.
+        if cfg.strict_mpc_feasibility:
+            feasible = res.feasible | (mode != TRACK)
+        else:
+            feasible = jnp.asarray(True)
         mpc_state = res.state
         mpc_xs = res.xs
     else:

@@ -24,6 +24,13 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from safe_control_tpu.solvers.chol import (
+    _BLOCKED_CHOL_MAX,
+    _UNROLL_CHOL_MAX,
+    _chol_solve_blocked,
+    _chol_solve_unrolled,
+)
+
 
 class ALGNConfig(NamedTuple):
     outer_iters: int = 12
@@ -75,9 +82,17 @@ def solve(
         at_ub = (Uf >= ub_flat - eps_b) & (grad < 0.0)
         free = jnp.logical_not(at_lb | at_ub).astype(dtype)
         Hf = free[:, None] * H * free[None, :] + jnp.diag(1.0 - free)
-        step = -jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(Hf, lower=True), free * grad
-        )
+        gf = free * grad
+        if nz <= _UNROLL_CHOL_MAX:
+            step = -_chol_solve_unrolled(Hf, gf)
+        elif nz <= _BLOCKED_CHOL_MAX:
+            # MPCC N=30 x 3 controls = 90 decision vars: the blocked unroll
+            # instead of XLA's sequential cho_factor lowering (see chol.py).
+            step = -_chol_solve_blocked(Hf, gf)
+        else:
+            step = -jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(Hf, lower=True), gf
+            )
         r0, act0 = al_terms(Uf, lam, rho)
 
         def merit_delta(a):
@@ -89,7 +104,16 @@ def solve(
 
         vals = jax.vmap(merit_delta)(alphas)
         vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
-        return jnp.clip(Uf + alphas[jnp.argmin(vals)] * step, lb_flat, ub_flat)
+        # Noise-phase acceptance (see mpc_cbf.py newton_step): when even the
+        # model's own predicted decrease is below the f32 merit resolution,
+        # the argmin over measured deltas (which includes alpha=0 at exactly
+        # 0) is a stall; take the damped Newton step instead.
+        noise_floor = jnp.asarray(4.0 * jnp.finfo(dtype).eps, dtype) * (
+            r0 @ r0 + (act0 @ act0) / (2.0 * rho)
+        )
+        pred = gf @ step + 0.5 * (step @ (Hf @ step))
+        best = jnp.where(pred >= -noise_floor, 0, jnp.argmin(vals))
+        return jnp.clip(Uf + alphas[best] * step, lb_flat, ub_flat)
 
     n_con = Jc0.shape[0]
 

@@ -28,6 +28,14 @@ import jax
 import jax.numpy as jnp
 
 from safe_control_tpu.barriers.hocbf import dt_h as hocbf_dt_h
+from safe_control_tpu.solvers.chol import (
+    _BLOCKED_CHOL_MAX,
+    _UNROLL_CHOL_MAX,
+    _chol_factor,
+    _chol_solve_blocked,
+    _chol_solve_unrolled,
+    _chol_sub,
+)
 from safe_control_tpu.core import spec as spec_mod
 from safe_control_tpu.dynamics import get_model
 
@@ -83,6 +91,17 @@ class MPCConfig(NamedTuple):
     # 'optimal' (mpc_cbf.py:10) — so scenario predicates only depend on this
     # in our stricter-than-reference mode.
     viol_tol: float = 0.05
+    # Terminal active-set KKT polish: after the AL loop, take the AL
+    # multipliers as an active-set estimate and run equality-constrained
+    # Gauss-Newton steps on that set (Newton-on-KKT: quadratic convergence,
+    # no merit function, no penalty).  In f64 this removes the AL's
+    # linear-rate multiplier error (anchor deviations 9e-4 -> 5e-5 at the
+    # 12x4 budget).  In f32 it is a wash: the Newton/Schur solves hit the
+    # same kappa(H)*eps ~ 1e-3 conditioning floor that limits the main loop
+    # (kappa ~ 1e4 from the cost-flat omega directions), so the default
+    # stays 0 and the f64 accuracy/parity mode turns it on.
+    polish_iters: int = 0
+    polish_ctol: float = 1e-2  # scaled-units activity threshold
 
 
 class MPCState(NamedTuple):
@@ -135,45 +154,6 @@ def _model_name_of(model) -> str:
         if mod is model:
             return name
     raise ValueError("unregistered model module")
-
-
-_UNROLL_CHOL_MAX = 40  # unroll the Newton solve up to this many variables
-
-
-def _chol_solve_unrolled(H, g):
-    """Solve H x = g (SPD) with a trace-time-unrolled Cholesky.
-
-    XLA lowers batched ``cho_factor``/``cho_solve`` on TPU as a sequential
-    masked loop plus batched triangular solves — a long serial chain that
-    dominates the vmapped MPC solve at D=16..24.  Unrolling at trace time
-    turns the factorization into ~D^3/6 independent fused scalar ops, each of
-    which is a (batch,)-wide VPU op under ``vmap`` — the same trick as the
-    Pallas QP kernel's ``_chol`` (solvers/qp_kernel.py:46-76).
-    """
-    D = H.shape[0]
-    L = [[None] * D for _ in range(D)]
-    for i in range(D):
-        for j in range(i + 1):
-            s = H[i, j]
-            for k in range(j):
-                s = s - L[i][k] * L[j][k]
-            if i == j:
-                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
-            else:
-                L[i][j] = s / L[j][j]
-    w = [None] * D
-    for i in range(D):
-        s = g[i]
-        for k in range(i):
-            s = s - L[i][k] * w[k]
-        w[i] = s / L[i][i]
-    x = [None] * D
-    for i in reversed(range(D)):
-        s = w[i]
-        for k in range(i + 1, D):
-            s = s - L[k][i] * x[k]
-        x[i] = s / L[i][i]
-    return jnp.stack(x)
 
 
 def solve(
@@ -362,6 +342,8 @@ def solve(
         gf = free * grad
         if N * m <= _UNROLL_CHOL_MAX:
             step = -_chol_solve_unrolled(Hf, gf)
+        elif N * m <= _BLOCKED_CHOL_MAX:
+            step = -_chol_solve_blocked(Hf, gf)
         else:
             step = -jax.scipy.linalg.cho_solve(
                 jax.scipy.linalg.cho_factor(Hf, lower=True), gf
@@ -383,7 +365,27 @@ def solve(
 
         vals = jax.vmap(merit_delta)(alphas)
         vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
-        best = jnp.argmin(vals)
+        # Noise-aware acceptance.  Near convergence the remaining improvement
+        # per step drops below the f32 resolution of the merit difference
+        # (roundoff of r_a - r0 with |r| ~ O(1e2) drowns O(1e-3) true deltas),
+        # at which point argmin over deltas — which includes alpha=0 at
+        # exactly 0 — degenerates into a random walk that stalls ~1e-2 from
+        # the optimum in cost-flat directions (observed on the parity
+        # anchors: DU MPC with CBF inactive, flat in omega).  Damped
+        # Gauss-Newton contracts there *without* needing merit resolution
+        # (its asymptotic error is H^-1 · gradient-noise ~ 1e-5, far below
+        # the merit-noise-limited stall), so: when the quadratic model's own
+        # predicted decrease is below the merit noise floor — i.e. the line
+        # search physically cannot distinguish the candidates — take the full
+        # damped Newton step.  In the measurable phase keep the argmin
+        # backtracking, which handles the genuinely nonconvex far-from-
+        # solution behavior.
+        noise_floor = jnp.asarray(
+            4.0 * jnp.finfo(dtype).eps, dtype
+        ) * (r0 @ r0 + (act0 @ act0) / (2.0 * rho))
+        pred = gf @ step + 0.5 * (step @ (Hf @ step))  # model delta at alpha=1
+        noise_phase = pred >= -noise_floor
+        best = jnp.where(noise_phase, 0, jnp.argmin(vals))
         return jnp.clip(Uf + alphas[best] * step, lb_flat, ub_flat)
 
     def outer_body(i, carry):
@@ -399,6 +401,91 @@ def solve(
     Uf, lam, _ = jax.lax.fori_loop(
         0, cfg.outer_iters, outer_body, (Uf, lam, jnp.asarray(cfg.rho0, dtype))
     )
+
+    # ---- terminal active-set KKT polish ---------------------------------
+    # The AL loop converges the multipliers only linearly and its f32 line
+    # search cannot resolve merit differences below ~eps * |r|^2, so the
+    # iterate stalls ~1e-2 from the f64 optimum in cost-flat directions.
+    # Newton-on-KKT removes both: take the AL multipliers as the active-set
+    # estimate, push the active constraints to equality with an equality-
+    # constrained Gauss-Newton step (Schur complement on the free variables),
+    # clip negative multipliers (constraints that want to detach), repeat.
+    # No merit function is involved, so f32 merit noise is irrelevant; each
+    # accepted step is guarded by the true (scaled) violation so a bad
+    # active-set guess can only be rejected, never destabilizing.
+    if cfg.polish_iters > 0:
+        n_dec = N * m
+
+        def rc_pol(Uf_):
+            U_ = Uf_.reshape(N, m)
+            return residual(U_), constraints(U_) * c_scale
+
+        def polish_once(carry, _):
+            Uf, lam = carry
+            (r, c), jvp = jax.linearize(rc_pol, Uf)
+            basis = jnp.eye(n_dec, dtype=dtype)
+            Jr, Jc = jax.vmap(jvp)(basis)  # (Nm, n_r), (Nm, n_c)
+            g = 2.0 * (Jr @ r)
+            grad_al = g - Jc @ lam
+            eps_b = 1e-7
+            at_lb = (Uf <= lb_flat + eps_b) & (grad_al > 0.0)
+            at_ub = (Uf >= ub_flat - eps_b) & (grad_al < 0.0)
+            free = jnp.logical_not(at_lb | at_ub).astype(dtype)
+            H = 2.0 * (Jr @ Jr.T)
+            H = H + cfg.reg * jnp.eye(n_dec, dtype=dtype) * (
+                1.0 + jnp.trace(H) / n_dec
+            )
+            Hf = free[:, None] * H * free[None, :] + jnp.diag(1.0 - free)
+            Cfree = free[:, None] * Jc  # (Nm, n_c)
+            L = _chol_factor(Hf)
+            gfree = free * g
+            Hg = _chol_sub(L, gfree)
+            Y = jax.vmap(lambda col: _chol_sub(L, col), in_axes=1, out_axes=1)(
+                Cfree
+            )
+            S0 = Cfree.T @ Y
+            q0 = Cfree.T @ Hg - c
+            n_c = S0.shape[0]
+            eyec = jnp.eye(n_c, dtype=dtype)
+
+            def solve_mu(a):
+                S = a[:, None] * S0 * a[None, :] + jnp.diag(1.0 - a)
+                S = S + 1e-7 * jnp.trace(S) / n_c * eyec
+                rhs = a * q0
+                if n_c <= _BLOCKED_CHOL_MAX:
+                    return _chol_solve_blocked(S, rhs)
+                return jax.scipy.linalg.cho_solve(
+                    jax.scipy.linalg.cho_factor(S, lower=True), rhs
+                )
+
+            # Working-set refinement: start from the AL estimate, then drop
+            # rows whose multiplier comes out negative (constraints with
+            # positive slack that an equality push would wrongly PULL DOWN
+            # to their boundary — a one-shot max(mu, 0) cannot decouple
+            # them from the genuinely active rows they are coupled to
+            # through S).
+            a = ((lam > 0.0) | (c < cfg.polish_ctol)).astype(dtype)
+            for _refine in range(3):
+                mu = solve_mu(a)
+                a = a * (mu > 0.0).astype(dtype)
+            mu = jnp.maximum(solve_mu(a), 0.0) * a
+            dU = _chol_sub(L, Cfree @ mu - gfree) * free
+            cand = jnp.clip(Uf + dU, lb_flat, ub_flat)
+            # Guard: the step must stay small (it is a terminal correction)
+            # and must not materially regress true feasibility.
+            c_new = constraints(cand.reshape(N, m)) * c_scale
+            viol0 = jnp.maximum(0.0, -jnp.min(c))
+            viol1 = jnp.maximum(0.0, -jnp.min(c_new))
+            ok = (jnp.max(jnp.abs(dU)) < 0.2) & (
+                viol1 <= jnp.maximum(1.5 * viol0, 2e-3)
+            )
+            Uf = jnp.where(ok, cand, Uf)
+            lam = jnp.where(ok, jnp.maximum(mu, 0.0), lam)
+            return (Uf, lam), None
+
+        (Uf, lam), _ = jax.lax.scan(
+            polish_once, (Uf, lam), None, length=cfg.polish_iters
+        )
 
     U = Uf.reshape(N, m)
     # Report violation in *scaled* (control-relevant) units.

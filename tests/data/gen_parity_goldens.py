@@ -161,19 +161,58 @@ def r1_row(h_fn, x, f, g, alpha):
 
 # ============================================================== QP golden
 def qp_golden(u_ref, rows, lb, ub):
-    """min ||u-u_ref||^2 s.t. A u + b >= 0, box — float64 SLSQP."""
-    A = np.array([r[0] for r in rows], dtype=float)
-    b = np.array([r[1] for r in rows], dtype=float)
-    cons = [dict(type="ineq", fun=lambda u: A @ u + b)] if len(rows) else []
-    res = minimize(
-        lambda u: float((u - u_ref) @ (u - u_ref)),
-        np.clip(u_ref, lb, ub),
-        method="SLSQP",
-        bounds=list(zip(lb, ub)),
-        constraints=cons,
-        options=dict(maxiter=300, ftol=1e-14),
-    )
-    return res.x if res.success else None
+    """min ||u-u_ref||^2 s.t. A u + b >= 0, box — EXACT f64 active-set
+    enumeration.
+
+    Every CBF-QP in the anchor configs has 2 decision variables, so the
+    optimal active set has at most 2 constraints; enumerating all subsets of
+    size <= 2 and checking primal feasibility + dual nonnegativity yields
+    the exact optimum of the convex QP (unlike SLSQP, which occasionally
+    reports spurious failure on degenerate near-goal steps).
+    """
+    from itertools import combinations
+
+    u_ref = np.asarray(u_ref, dtype=float)
+    n = u_ref.size
+    assert n == 2, "exact enumeration written for 2-var QPs"
+    G_rows, h_rows = [], []
+    for a_i, b_i in rows:
+        G_rows.append(np.asarray(a_i, float))
+        h_rows.append(-float(b_i))  # A u + b >= 0  ->  A u >= -b
+    for i in range(n):
+        e = np.zeros(n)
+        e[i] = 1.0
+        G_rows.append(e.copy())
+        h_rows.append(float(lb[i]))
+        G_rows.append(-e)
+        h_rows.append(-float(ub[i]))
+    G = np.stack(G_rows)
+    h = np.asarray(h_rows)
+    m = G.shape[0]
+
+    def feasible(u):
+        return np.all(G @ u - h >= -1e-10)
+
+    best = None
+    if feasible(u_ref):
+        best = u_ref.copy()
+    for k in (1, 2):
+        for S in combinations(range(m), k):
+            Gs = G[list(S)]
+            M = Gs @ Gs.T
+            if abs(np.linalg.det(M)) < 1e-12:
+                continue
+            lam = np.linalg.solve(M, 2.0 * (h[list(S)] - Gs @ u_ref))
+            if np.any(lam < -1e-10):
+                continue
+            u = u_ref + Gs.T @ lam / 2.0
+            if not feasible(u):
+                continue
+            if best is None or (u - u_ref) @ (u - u_ref) < (best - u_ref) @ (
+                best - u_ref
+            ) - 1e-15:
+                best = u
+    return best
 
 
 # ============================================================== MPC golden
@@ -234,6 +273,32 @@ def mpc_golden(x0, goal, u_prev, obs_rows, rr, a1, a2, v_max, U0=None):
     return res.x.reshape(N_MPC, 2), res.fun
 
 
+# ================================== closed-loop golden helpers (f64 NumPy)
+def di_nominal_np(x, goal, k_v=1.0, k_a=1.0, v_max=1.0, a_max=1.0, d_min=0.05):
+    """DoubleIntegrator2D nominal PD law (double_integrator2D.py:113-140)."""
+    pos_err = goal - x[:2]
+    pos_err = np.sign(pos_err) * np.maximum(np.abs(pos_err) - d_min, 0.0)
+    v_des = k_v * pos_err
+    vm = np.linalg.norm(v_des)
+    if vm > v_max:
+        v_des = v_des * (v_max / vm)
+    a = k_a * (v_des - x[2:4])
+    am = np.linalg.norm(a)
+    if am > a_max:
+        a = a * (a_max / am)
+    return a
+
+
+def di_step_np(x, u, dt=DT, v_max=1.0):
+    """DI Euler step + velocity-norm clamp (double_integrator2D.py:79-107)."""
+    x = x + np.array([x[2], x[3], u[0], u[1]]) * dt
+    vm = np.linalg.norm(x[2:4])
+    if vm > v_max:
+        x = x.copy()
+        x[2:4] *= v_max / vm
+    return x
+
+
 # ================================================================= main
 def main():
     import jax
@@ -279,6 +344,26 @@ def main():
     out["c1_obs"] = obs_np
     print(f"config1: {len(anchors['x'])} anchors")
 
+    # -- config 1 CLOSED-LOOP golden: full f64 NumPy loop, SLSQP QP each
+    # step, independent nominal/step formulas.  The parity test drives this
+    # repo's f32 closed loop from the same x0 and bounds the trajectory
+    # deviation (BASELINE closed-loop criterion).
+    xg = np.array([0.5, 1.0, 0.0, 0.0])
+    goal_np = np.array([8.0, 4.0])
+    cl1 = [xg.copy()]
+    for k in range(300):
+        ur = di_nominal_np(xg, goal_np)
+        rows = [di_row(xg, o, 0.25, 1.5, 1.5) for o in obs_np]
+        gsol = qp_golden(ur, rows, [-1.0, -1.0], [1.0, 1.0])
+        assert gsol is not None, f"cl1 QP infeasible at k={k}"
+        xg = di_step_np(xg, gsol)
+        cl1.append(xg.copy())
+    out["cl1_x0"] = np.array([0.5, 1.0, 0.0, 0.0])
+    out["cl1_goal"] = goal_np
+    out["cl1_traj"] = np.stack(cl1)
+    print(f"config1 closed-loop golden: {len(cl1)} states, "
+          f"final pos {cl1[-1][:2].round(3)}")
+
     # ------- config 2: DU MPC-CBF N=8, circle + superellipsoid -------------
     from safe_control_tpu.solvers import mpc_cbf
 
@@ -288,7 +373,7 @@ def main():
     # accuracy-mode budget used by the parity test (test_parity_anchors.py):
     # same horizon/dt, more AL iterations than the closed-loop default
     cfg2a = mpc_cbf.MPCConfig(horizon=N_MPC, num_obs=5,
-                              outer_iters=12, newton_iters=4)
+                              outer_iters=12, newton_iters=4, polish_iters=2)
     obs2_np = np.array(
         [[2.0, 0.3, 0.35, 0, 0, 0, 0],  # circle
          [4.0, -0.4, 0.8, 0.4, 4.0, 0.4, 1.0]]  # superellipsoid
@@ -332,7 +417,33 @@ def main():
     out["c2_gold"] = np.stack(c2["gold"])
     out["c2_obs"] = obs2_np
     out["c2_goal"] = goal2
+    # Identifiability-filter accounting (BASELINE criterion row): the number
+    # of anchors dropped because the two-start f64 optima disagreed is part
+    # of the committed record, not just a generator printout.
+    out["c2_dropped"] = np.asarray(dropped)
     print(f"config2: {len(c2['x'])} anchors ({dropped} dropped: different basin)")
+
+    # -- config 2 CLOSED-LOOP golden: f64 NumPy loop, warm-started SLSQP MPC
+    # each step (the same problem the reference's IPOPT solves per period).
+    xg = np.array([0.0, 0.0, 0.0, 0.4])
+    ug_prev = np.zeros(2)
+    U_warm = None
+    cl2 = [xg.copy()]
+    for k in range(150):
+        U_sol, _ = mpc_golden(xg, goal2, ug_prev, obs2_np, 0.25, 0.15, 0.15,
+                              1.0, U0=U_warm)
+        if U_sol is None:  # cold retry on the rare warm-start SLSQP failure
+            U_sol, _ = mpc_golden(xg, goal2, ug_prev, obs2_np, 0.25, 0.15,
+                                  0.15, 1.0)
+        assert U_sol is not None, f"closed-loop golden infeasible at k={k}"
+        ug_prev = U_sol[0]
+        U_warm = np.vstack([U_sol[1:], U_sol[-1:]])
+        xg = du_step_np(xg, U_sol[0])
+        cl2.append(xg.copy())
+    out["cl2_x0"] = np.array([0.0, 0.0, 0.0, 0.4])
+    out["cl2_traj"] = np.stack(cl2)
+    print(f"config2 closed-loop golden: {len(cl2)} states, "
+          f"final pos {cl2[-1][:2].round(3)}")
 
     # ------- config 3: DU MPC-CBF unknown env (FOV-detected circles) -------
     unknown_np = np.array([[3.0, 0.4, 0.4, 0, 0, 0, 0], [4.5, -0.3, 0.35, 0, 0, 0, 0]])
@@ -393,6 +504,7 @@ def main():
     out["c3_obs"] = np.stack(c3["obs"])
     out["c3_gold"] = np.stack(c3["gold"])
     out["c3_goal"] = goal3
+    out["c3_dropped"] = np.asarray(dropped3)
     print(f"config3: {len(c3['x'])} anchors ({dropped3} dropped)")
 
     # ------- config 4: KB C3BF / DPCBF QPs with moving obstacles ------------

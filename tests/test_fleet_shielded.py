@@ -1,0 +1,143 @@
+"""Gatekeeper-shielded heterogeneous fleet e2e (BASELINE anchor config 5).
+
+Two opposing walls of robots (DynamicUnicycle2D vs DoubleIntegrator2D) drive
+through each other's lanes around static obstacles.  Without shielding this
+geometry produces head-on conflicts; with per-robot gatekeeper commitment
+(nominal PD tracking + stop backup, neighbors under constant-velocity
+prediction) the shields must measurably engage (backup steps > 0) while the
+fleet stays collision-free throughout.
+
+Scale note: the >=1k-agent version of exactly this scenario runs in
+bench_fleet.py on the TPU; the CPU-mesh test keeps the same structure at a
+size the 2-core host can verify in seconds.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_control_tpu.core.spec import (
+    DOUBLE_INTEGRATOR_2D,
+    DYNAMIC_UNICYCLE_2D,
+    make_spec,
+)
+from safe_control_tpu.core.types import pad_obstacles
+from safe_control_tpu.parallel import fleet as fleet_mod
+from safe_control_tpu.shielding import gatekeeper as gk_mod
+
+DT = 0.05
+
+GK = gk_mod.GatekeeperConfig(
+    model_name=DYNAMIC_UNICYCLE_2D, dt=DT, nominal_steps=16, backup_steps=16,
+    event_offset_steps=4, discount_steps=4,
+)
+
+
+def build_fleet(n_per_group=32):
+    """Two opposing walls on crossing lanes, two static obstacles between."""
+    groups = [
+        fleet_mod.ShieldedGroup(
+            model_name=DYNAMIC_UNICYCLE_2D, count=n_per_group,
+            gk=dataclasses.replace(GK, model_name=DYNAMIC_UNICYCLE_2D),
+            robot_radius=0.25,
+        ),
+        fleet_mod.ShieldedGroup(
+            model_name=DOUBLE_INTEGRATOR_2D, count=n_per_group,
+            gk=dataclasses.replace(GK, model_name=DOUBLE_INTEGRATOR_2D),
+            robot_radius=0.25,
+        ),
+    ]
+    specs = [
+        make_spec(DYNAMIC_UNICYCLE_2D, a_max=1.0, w_max=0.8, v_max=0.6,
+                  radius=0.25),
+        make_spec(DOUBLE_INTEGRATOR_2D, v_max=0.6, a_max=1.5, radius=0.25),
+    ]
+    # group 0: wall at x=0 heading +x; group 1: wall at x=8 heading -x on the
+    # same lanes (offset half a lane so conflicts are head-on but resolvable).
+    lane = 1.6
+    y = lane * np.arange(n_per_group)
+    x0_du = np.zeros((n_per_group, 4), np.float32)
+    x0_du[:, 1] = y
+    x0_du[:, 3] = 0.3
+    x0_di = np.zeros((n_per_group, 4), np.float32)
+    x0_di[:, 0] = 8.0
+    x0_di[:, 1] = y + 0.4 * lane
+    x0_di[:, 2] = -0.3
+    wps_du = np.zeros((n_per_group, 1, 2), np.float32)
+    wps_du[:, 0, 0] = 8.0
+    wps_du[:, 0, 1] = y
+    wps_di = np.zeros((n_per_group, 1, 2), np.float32)
+    wps_di[:, 0, 0] = 0.0
+    wps_di[:, 0, 1] = y + 0.4 * lane
+    known = pad_obstacles(
+        jnp.asarray(
+            np.array(
+                [[4.0, 0.8, 0.4, 0, 0, 0, 0],
+                 [4.0, float(lane * n_per_group - 1.6), 0.4, 0, 0, 0, 0]],
+                np.float32,
+            )
+        ),
+        4,
+    )
+    x0s = [jnp.asarray(x0_du), jnp.asarray(x0_di)]
+    wps = [jnp.asarray(wps_du), jnp.asarray(wps_di)]
+    n_wps = [jnp.asarray(1), jnp.asarray(1)]
+    return groups, specs, x0s, wps, n_wps, known
+
+
+@pytest.mark.slow
+def test_shielded_fleet_no_collisions_and_shields_engage():
+    groups, specs, x0s, wps, n_wps, known = build_fleet(n_per_group=32)
+    state = fleet_mod.init_shielded_fleet(groups, x0s)
+    step = jax.jit(
+        lambda s: fleet_mod.step_fleet_shielded(
+            groups, specs, s, wps, n_wps, known, n_steps=5, k_neighbors=4
+        )
+    )
+    min_clear = np.inf
+    for _ in range(24):  # 120 control steps = 6 s sim time
+        state = step(state)
+        min_clear = min(min_clear,
+                        fleet_mod.min_pairwise_clearance(groups, state))
+    stats = fleet_mod.shielded_fleet_stats(groups, state)
+    assert min_clear > 0.0, f"robot-robot collision: clearance {min_clear}"
+    assert stats["backup_steps"] > 0, f"shields never engaged: {stats}"
+    assert stats["commits"] > 0, f"no candidate ever committed: {stats}"
+    # the fleet must still make progress (not a full deadlock): some robots
+    # should have advanced well into the arena
+    adv_du = float(jnp.max(state.x[0][:, 0]))
+    adv_di = float(jnp.min(state.x[1][:, 0]))
+    assert adv_du > 1.0 and adv_di < 7.0, (adv_du, adv_di, stats)
+
+
+@pytest.mark.slow
+def test_shielded_headon_pair_stops_safely():
+    """Two robots aimed straight at each other must both yield to backup."""
+    groups, specs, _, _, _, _ = build_fleet(n_per_group=1)
+    x0s = [
+        jnp.asarray(np.array([[0.0, 0.0, 0.0, 0.5]], np.float32)),
+        jnp.asarray(np.array([[6.0, 0.0, -0.5, 0.0]], np.float32)),
+    ]
+    wps = [
+        jnp.asarray(np.array([[[6.0, 0.0]]], np.float32)),
+        jnp.asarray(np.array([[[0.0, 0.0]]], np.float32)),
+    ]
+    n_wps = [jnp.asarray(1), jnp.asarray(1)]
+    known = pad_obstacles(jnp.zeros((0, 7), jnp.float32), 4)
+    state = fleet_mod.init_shielded_fleet(groups, x0s)
+    step = jax.jit(
+        lambda s: fleet_mod.step_fleet_shielded(
+            groups, specs, s, wps, n_wps, known, n_steps=5, k_neighbors=1
+        )
+    )
+    min_clear = np.inf
+    for _ in range(30):
+        state = step(state)
+        min_clear = min(min_clear,
+                        fleet_mod.min_pairwise_clearance(groups, state))
+    stats = fleet_mod.shielded_fleet_stats(groups, state)
+    assert min_clear > 0.0, f"head-on pair collided: clearance {min_clear}"
+    assert stats["backup_steps"] > 0, stats
