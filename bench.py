@@ -7,7 +7,20 @@ MPC-CBF solves/s on one chip.  vs_baseline is value / 10,000 (>=1 means the
 target is met).
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "extra_metrics": {...}}
+
+``extra_metrics`` carries the secondary BASELINE rows (each best-effort;
+failures are recorded as strings, never abort the main metric):
+- vtol_mpc_n30_solves_per_sec / mpcc_n30_solves_per_sec: the large-horizon
+  solver path (120 / 90 decision vars -> the blocked trace-time Cholesky,
+  solvers/chol.py) at the horizons the reference actually runs
+  (position_control/mpc_cbf.py:41, mpcc.py:47).
+- per_step_latency_ms: ONE robot's control_step() wall time through the
+  public LocalTrackingController wrapper vs the reference's real-time
+  budget (dt = 0.05 s -> 50 ms; BASELINE.md real-time parity row).
+- fleet_shielded_1024: agent-steps/s of the gatekeeper-shielded
+  heterogeneous fleet (BASELINE anchor config 5) with shields engaging.
 
 Run on the real TPU (default env).  Make sure no other TPU-attached python
 process is alive (single tunnel).
@@ -23,7 +36,12 @@ import numpy as np
 TARGET_SOLVES_PER_SEC = 10_000.0
 
 
-def main() -> None:
+def _fetch(x):
+    """Force completion via a host fetch (axon block_until_ready caveat)."""
+    return np.asarray(x)[...]
+
+
+def bench_main_metric():
     import jax
 
     from __graft_entry__ import _build_step
@@ -32,25 +50,222 @@ def main() -> None:
     step, args = _build_step(batch=batch)
     fn = jax.jit(step)
 
-    # Compile + warm up.  NOTE: completion is forced by a host fetch of one
-    # scalar, not ``block_until_ready`` — on the axon tunnel backend
-    # block_until_ready has been observed to return before the computation
-    # chain actually finishes, which silently corrupts timings.
     out = fn(*args)
-    _ = np.asarray(out[0][:1])
+    _ = _fetch(out[0][:1])
 
-    # Steady-state timing: feed the warm-started U back in (closed-loop-like;
-    # the data dependency between reps also defeats any result caching).
     xs, goals, obs, u_prevs, Us = args
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         xs, u, Us = fn(xs, goals, obs, u_prevs, Us)
         u_prevs = u
-    _ = np.asarray(xs[:1, :1])  # forces the whole rep chain
+    _ = _fetch(xs[:1, :1])
     elapsed = time.perf_counter() - t0
+    return batch * reps / elapsed
 
-    solves_per_sec = batch * reps / elapsed
+
+def bench_vtol_n30(batch=256, reps=3):
+    import jax
+    import jax.numpy as jnp
+
+    from safe_control_tpu.core.spec import VTOL_2D, make_spec
+    from safe_control_tpu.core.types import pad_obstacles
+    from safe_control_tpu.solvers import mpc_cbf
+
+    spec = make_spec(VTOL_2D)
+    cfg = mpc_cbf.MPCConfig(horizon=30, num_obs=5)
+    dt = 0.05
+    goal = jnp.array([80.0, 40.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)
+    obs = pad_obstacles(
+        jnp.asarray([[40.0, 35.0, 3.0, 0, 0, 0, 0]], jnp.float32), 5
+    )
+    st0 = mpc_cbf.init_state(VTOL_2D, cfg)
+
+    def one(x, U):
+        res = mpc_cbf.solve(
+            VTOL_2D, spec, x, goal, obs, jnp.zeros(4),
+            mpc_cbf.MPCState(U=U, lam=jnp.zeros_like(st0.lam)), dt, cfg,
+        )
+        return res.u, res.state.U
+
+    fn = jax.jit(jax.vmap(one))
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(0, 20, (batch, 1)), rng.uniform(30, 50, (batch, 1)),
+             rng.uniform(-0.1, 0.1, (batch, 1)), rng.uniform(5, 15, (batch, 1)),
+             rng.uniform(-1, 1, (batch, 1)), np.zeros((batch, 1))], axis=1,
+        ), jnp.float32)
+    Us = jnp.tile(st0.U[None], (batch, 1, 1))
+    u, Us_w = fn(xs, Us)
+    _ = _fetch(u[:1])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        u, Us_w = fn(xs, Us_w)
+    _ = _fetch(u[:1, :1])
+    return batch * reps / (time.perf_counter() - t0)
+
+
+def bench_mpcc_n30(batch=256, reps=3):
+    import jax
+    import jax.numpy as jnp
+
+    from safe_control_tpu.core.spec import DRIFTING_CAR, make_spec
+    from safe_control_tpu.solvers import mpcc
+
+    spec = make_spec(DRIFTING_CAR)
+    sx = np.linspace(0.0, 200.0, 601)
+    path = mpcc.make_path(sx, np.full_like(sx, 2.0))
+    cfg = mpcc.MPCCConfig(horizon=30, v_ref=10.0)
+
+    def one(x8, st):
+        res = mpcc.solve(spec, x8, path, st, jnp.zeros(2), 0.05, cfg)
+        return res.u, res.state
+
+    fn = jax.jit(jax.vmap(one))
+    rng = np.random.default_rng(0)
+    xs = np.zeros((batch, 8), np.float32)
+    xs[:, 0] = rng.uniform(1.0, 50.0, batch)
+    xs[:, 1] = 2.0
+    xs[:, 5] = 10.0
+    xs = jnp.asarray(xs)
+    st = jax.vmap(lambda _: mpcc.init_state(cfg))(jnp.arange(batch))
+    u, st_w = fn(xs, st)
+    _ = _fetch(u[:1])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        u, st_w = fn(xs, st_w)
+    _ = _fetch(u[:1, :1])
+    return batch * reps / (time.perf_counter() - t0)
+
+
+def bench_per_step_latency():
+    """Single-robot control_step() wall time through the public wrapper."""
+    from safe_control_tpu.sim.controller import LocalTrackingController
+
+    out = {}
+    cases = {
+        "du_cbf_qp": (dict(model="DynamicUnicycle2D", a_max=1.0, w_max=0.5,
+                           radius=0.25), {"pos": "cbf_qp"}, 0.05),
+        "du_mpc_cbf": (dict(model="DynamicUnicycle2D", a_max=1.0, w_max=0.5,
+                            radius=0.25), {"pos": "mpc_cbf"}, 0.05),
+        "vtol_mpc_n30": (dict(model="VTOL2D"), {"pos": "mpc_cbf"}, 0.05),
+    }
+    for name, (rspec, ctype, dt) in cases.items():
+        ctrl = LocalTrackingController(
+            np.zeros(3) if rspec["model"] != "VTOL2D" else
+            np.array([5.0, 40.0, 0.0]),
+            rspec, controller_type=ctype, dt=dt,
+        )
+        wp = [[8.0, 4.0]] if rspec["model"] != "VTOL2D" else [[120.0, 40.0]]
+        ctrl.set_waypoints(wp)
+        ctrl.obs = np.array([[4.0, 2.0, 0.4, 0, 0, 0, 0]], float) \
+            if rspec["model"] != "VTOL2D" else np.zeros((0, 7))
+        for _ in range(3):  # compile + warm
+            ctrl.control_step()
+        ts = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            ctrl.control_step()
+            ts.append(time.perf_counter() - t0)
+        out[name] = dict(
+            median_ms=round(float(np.median(ts)) * 1e3, 3),
+            p95_ms=round(float(np.percentile(ts, 95)) * 1e3, 3),
+            budget_ms=dt * 1e3,
+            within_budget=bool(np.median(ts) < dt),
+        )
+    return out
+
+
+def bench_fleet_shielded(n_per_group=512, chunks=4, n_steps=5):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from safe_control_tpu.core.spec import (
+        DOUBLE_INTEGRATOR_2D, DYNAMIC_UNICYCLE_2D, make_spec,
+    )
+    from safe_control_tpu.core.types import pad_obstacles
+    from safe_control_tpu.parallel import fleet as fleet_mod
+    from safe_control_tpu.shielding import gatekeeper as gk_mod
+
+    GK = gk_mod.GatekeeperConfig(
+        model_name=DYNAMIC_UNICYCLE_2D, dt=0.05, nominal_steps=16,
+        backup_steps=16, event_offset_steps=4, discount_steps=4,
+    )
+    groups = [
+        fleet_mod.ShieldedGroup(
+            model_name=DYNAMIC_UNICYCLE_2D, count=n_per_group,
+            gk=dataclasses.replace(GK, model_name=DYNAMIC_UNICYCLE_2D)),
+        fleet_mod.ShieldedGroup(
+            model_name=DOUBLE_INTEGRATOR_2D, count=n_per_group,
+            gk=dataclasses.replace(GK, model_name=DOUBLE_INTEGRATOR_2D)),
+    ]
+    specs = [
+        make_spec(DYNAMIC_UNICYCLE_2D, a_max=1.0, w_max=0.8, v_max=0.6,
+                  radius=0.25),
+        make_spec(DOUBLE_INTEGRATOR_2D, v_max=0.6, a_max=1.5, radius=0.25),
+    ]
+    lane = 1.6
+    y = lane * np.arange(n_per_group)
+    x0_du = np.zeros((n_per_group, 4), np.float32)
+    x0_du[:, 1] = y
+    x0_du[:, 3] = 0.3
+    x0_di = np.zeros((n_per_group, 4), np.float32)
+    x0_di[:, 0] = 8.0
+    x0_di[:, 1] = y + 0.4 * lane
+    x0_di[:, 2] = -0.3
+    wps_du = np.zeros((n_per_group, 1, 2), np.float32)
+    wps_du[:, 0, 0] = 8.0
+    wps_du[:, 0, 1] = y
+    wps_di = np.zeros((n_per_group, 1, 2), np.float32)
+    wps_di[:, 0, 1] = y + 0.4 * lane
+    known = pad_obstacles(jnp.zeros((0, 7), jnp.float32), 4)
+    wps = [jnp.asarray(wps_du), jnp.asarray(wps_di)]
+    n_wps = [jnp.asarray(1), jnp.asarray(1)]
+    state = fleet_mod.init_shielded_fleet(
+        groups, [jnp.asarray(x0_du), jnp.asarray(x0_di)]
+    )
+    step = jax.jit(
+        lambda s: fleet_mod.step_fleet_shielded(
+            groups, specs, s, wps, n_wps, known, n_steps=n_steps,
+            k_neighbors=4,
+        )
+    )
+    state = step(state)
+    _ = _fetch(state.x[0][:1])
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        state = step(state)
+    _ = _fetch(state.x[0][:1, :1])
+    elapsed = time.perf_counter() - t0
+    stats = fleet_mod.shielded_fleet_stats(groups, state)
+    total_agents = 2 * n_per_group
+    return dict(
+        agent_steps_per_sec=round(total_agents * chunks * n_steps / elapsed, 1),
+        agents=total_agents,
+        backup_steps=stats["backup_steps"],
+        commits=stats["commits"],
+    )
+
+
+def main() -> None:
+    solves_per_sec = bench_main_metric()
+
+    extra = {}
+    for name, fn in (
+        ("vtol_mpc_n30_solves_per_sec", bench_vtol_n30),
+        ("mpcc_n30_solves_per_sec", bench_mpcc_n30),
+        ("per_step_latency_ms", bench_per_step_latency),
+        ("fleet_shielded_1024", bench_fleet_shielded),
+    ):
+        try:
+            v = fn()
+            extra[name] = round(float(v), 1) if isinstance(v, float) else v
+        except Exception as e:  # record, never abort the main metric
+            extra[name] = f"error: {type(e).__name__}: {e}"
+
     print(
         json.dumps(
             {
@@ -58,6 +273,7 @@ def main() -> None:
                 "value": round(float(solves_per_sec), 1),
                 "unit": "solves/s",
                 "vs_baseline": round(float(solves_per_sec / TARGET_SOLVES_PER_SEC), 3),
+                "extra_metrics": extra,
             }
         )
     )

@@ -136,6 +136,11 @@ def main() -> None:
         _ = np.asarray(z[:1, :1])
         overhead_ms = (time.perf_counter() - t0) / 20 * 1e3
 
+        import os
+
+        platform = jax.devices()[0].platform
+        host_cores = os.cpu_count() or 1
+        virtual = platform == "cpu"
         if base_tps is None:
             base_tps = tps
         eff = tps / (n_dev * base_tps)
@@ -146,19 +151,34 @@ def main() -> None:
             "unit": "solves/s",
             "per_device": round(float(tps / n_dev), 1),
             "efficiency": round(float(eff), 4),
+            # tps(n)/tps(1): the only meaningful number on a compute-bound
+            # virtual mesh — 1.0 means the sharding machinery adds zero
+            # overhead on top of the fixed host compute.
+            "aggregate_throughput_retention": round(float(tps / base_tps), 4),
             "dispatch_overhead_ms": round(float(overhead_ms), 3),
-            "platform": jax.devices()[0].platform,
+            "platform": platform,
+            "host_cores": host_cores,
+            "compute_bound_virtual_mesh": virtual,
+            # On a virtual mesh, 'efficiency' measures core oversubscription
+            # (~cores/n_devices by construction), NOT the BASELINE >=85%
+            # multi-host target; only a real multi-chip run is valid for it.
+            "valid_for_baseline_target": not virtual,
         }
         results.append(rec)
         print(json.dumps(rec))
 
     # Summary line for the 2-device (2-host proxy) target.
     if len(results) > 1:
+        virtual = results[1]["compute_bound_virtual_mesh"]
         print(json.dumps({
-            "metric": "scaling_efficiency_at_2",
-            "value": results[1]["efficiency"],
+            "metric": ("scaling_throughput_retention_at_2_virtual"
+                       if virtual else "scaling_efficiency_at_2"),
+            "value": (results[1]["aggregate_throughput_retention"]
+                      if virtual else results[1]["efficiency"]),
             "unit": "ratio",
-            "vs_baseline": round(results[1]["efficiency"] / 0.85, 3),
+            "valid_for_baseline_target": not virtual,
+            "vs_baseline": (None if virtual
+                            else round(results[1]["efficiency"] / 0.85, 3)),
         }))
 
 

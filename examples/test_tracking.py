@@ -49,11 +49,47 @@ SPECS = {
 }
 
 
+def _save_frame(anim, ctrl, states, model, algo):
+    """One animation frame: workspace + body + FoV + footprint + safety area
+    (the reference's live artists, robots/robot.py:180-334)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from safe_control_tpu.viz.plotting import (
+        Plotting, draw_fov_sector, draw_footprint,
+    )
+
+    plot = Plotting(14.0, 14.0, ctrl.obs)
+    ax, fig = plot.plot_grid(f"{model} ({algo})")
+    plot.plot_waypoints(ax, np.array(WAYPOINTS))
+    plot.plot_trajectory(ax, states)
+    pos = states[-1][:2]
+    yaw = float(ctrl.state.yaw)
+    if ctrl.cfg.grid is not None:
+        draw_footprint(ax, ctrl.state.footprint, ctrl.cfg.grid)
+    if getattr(ctrl.spec, "fov_angle", None) is not None:
+        draw_fov_sector(ax, pos, yaw, ctrl.spec)
+    ax.plot(*pos, "o", color="tab:blue", ms=6, zorder=6)
+    anim.save_frame(fig)
+    plt.close(fig)
+
+
 def main():
     parser = argparse.ArgumentParser(description="Run single agent tracking.")
     parser.add_argument("--model", default="du", choices=sorted(MODEL_MAP))
     parser.add_argument("--algo", default="mpc_cbf", choices=["cbf_qp", "mpc_cbf"])
+    parser.add_argument(
+        "--att_algo", default="velocity_tracking_yaw",
+        choices=["none", "simple", "velocity_tracking_yaw", "visibility_area",
+                 "visibility_raycast", "gatekeeper"],
+    )
     parser.add_argument("--render", action="store_true")
+    parser.add_argument("--save_anim", action="store_true",
+                        help="per-frame replay -> mp4 (AnimationSaver, "
+                             "reference test_tracking.py:19)")
+    parser.add_argument("--anim_every", type=int, default=3)
     parser.add_argument("--tf", type=float, default=100.0)
     args = parser.parse_args()
 
@@ -69,18 +105,28 @@ def main():
     if model in ("DynamicUnicycle2D", "KinematicBicycle2D"):
         x0 = np.append(x0, 1.0)[:4] if model == "KinematicBicycle2D" else x0
     ctrl = LocalTrackingController(
-        x0, spec, controller_type={"pos": args.algo}, dt=0.05
+        x0, spec, controller_type={"pos": args.algo, "att": args.att_algo},
+        dt=0.05,
     )
     ctrl.obs = np.hstack([np.array(KNOWN_OBS), np.zeros((len(KNOWN_OBS), 4))])
     ctrl.set_waypoints(np.array(WAYPOINTS, dtype=float))
     states = []
     ret_sum = 0
-    for _ in range(int(args.tf / 0.05)):
+    anim = None
+    if args.save_anim:
+        from safe_control_tpu.viz.plotting import AnimationSaver
+
+        anim = AnimationSaver()
+    for k in range(int(args.tf / 0.05)):
         ret = ctrl.control_step()
         states.append(ctrl.robot_state.copy())
         ret_sum += ret
+        if anim is not None and k % args.anim_every == 0:
+            _save_frame(anim, ctrl, np.array(states), model, args.algo)
         if ret in (-1, -2):
             break
+    if anim is not None:
+        print("video:", anim.export_video(f"tracking_{args.model}_{args.algo}.mp4"))
     ok = ret in (-1, 0)
     print("Success!" if ok else "Failed!")
 

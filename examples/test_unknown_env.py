@@ -144,6 +144,40 @@ def apply_algo_tuning(robot_spec, algo):
     return robot_spec
 
 
+def _save_frame(anim, ctrl, traj, unknown_obs, waypoints, W, H, model, algo):
+    """One frame: workspace + unknown-obstacle outlines + trajectory + the
+    live perception state — accumulated sensing footprint, FoV sector, and
+    the braking-distance safety area the tracker checked this step
+    (robots/robot.py:180-334, 646-741)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Circle
+
+    from safe_control_tpu.viz.plotting import (
+        Plotting, draw_fov_sector, draw_footprint, draw_safety_area,
+    )
+
+    plot = Plotting(W, H, ctrl.obs)
+    ax, fig = plot.plot_grid(f"{model} ({algo})")
+    for ob in unknown_obs:
+        ax.add_patch(Circle(ob[:2], ob[2], ec="orange", fc="none", ls="--"))
+    plot.plot_waypoints(ax, waypoints)
+    plot.plot_trajectory(ax, traj)
+    pos = traj[-1][:2]
+    yaw = float(ctrl.state.yaw)
+    if ctrl.cfg.grid is not None:
+        draw_footprint(ax, ctrl.state.footprint, ctrl.cfg.grid)
+        if ctrl.last_safety_mask is not None \
+                and ctrl.last_safety_mask.shape != (1, 1):
+            draw_safety_area(ax, ctrl.last_safety_mask, ctrl.cfg.grid)
+    draw_fov_sector(ax, pos, yaw, ctrl.spec)
+    ax.plot(*pos, "o", color="tab:blue", ms=6, zorder=6)
+    anim.save_frame(fig)
+    plt.close(fig)
+
+
 def main():
     parser = argparse.ArgumentParser(
         description="Unknown-obstacle tracking in an indoor-like environment."
@@ -157,6 +191,10 @@ def main():
     )
     parser.add_argument("--unknown_detection", default="fov", choices=["fov", "ray"])
     parser.add_argument("--render", action="store_true")
+    parser.add_argument("--save_anim", action="store_true",
+                        help="per-frame replay -> mp4 showing footprint "
+                             "growth, FoV sector, and safety area")
+    parser.add_argument("--anim_every", type=int, default=4)
     parser.add_argument("--tf", type=float, default=120.0)
     args = parser.parse_args()
 
@@ -180,14 +218,25 @@ def main():
     ctrl.set_unknown_obs(unknown_obs)
     ctrl.set_waypoints(waypoints)
 
+    anim = None
+    if args.save_anim:
+        from safe_control_tpu.viz.plotting import AnimationSaver
+
+        anim = AnimationSaver()
     rets = []
     traj = []
-    for _ in range(int(args.tf / 0.05)):
+    for k in range(int(args.tf / 0.05)):
         ret = ctrl.control_step()
         rets.append(ret)
         traj.append(ctrl.robot_state.copy())
+        if anim is not None and k % args.anim_every == 0:
+            _save_frame(anim, ctrl, np.asarray(traj), unknown_obs, waypoints,
+                        W, H, model, args.algo)
         if ret in (tracking.RET_DONE, tracking.RET_INFEASIBLE):
             break
+    if anim is not None:
+        print("video:",
+              anim.export_video(f"unknown_env_{args.model}_{args.algo}.mp4"))
     rets = np.asarray(rets)
     collided = bool(np.any(rets == tracking.RET_INFEASIBLE))
     done = rets[-1] == tracking.RET_DONE

@@ -181,6 +181,54 @@ class WarehouseEnv:
         g[flip_x, 2] *= -1
         g[flip_y, 3] *= -1
 
+    def safe_spots(self, robot_radius=0.8, margin=0.7, grid_step=2.0,
+                   sim_seconds=240.0):
+        """(S, 2) parking points that no ghost's bouncing path ever visits.
+
+        Ghost trajectories are deterministic rays with wall bounces, so
+        their reachable sets are fixed polylines; a robot parked at least
+        ``robot_radius + ghost_radius + margin`` from every polyline (and
+        from statics/walls) is safe for all time.  This is the warehouse
+        analog of the reference's evade-to-pocket backup target
+        (position_control/backup_controller.py:420-626): a backup POLICY
+        that drives to the nearest such spot turns "braked to rest" (not
+        invariant under sweeper traffic) into a genuine invariant set.
+
+        Host-side, one-time per level: simulates every active ghost for
+        ``sim_seconds`` and excludes a candidate grid against the sampled
+        paths.
+        """
+        g = self._ghosts
+        act = g[g[:, 4] > 0]
+        xs = np.arange(3.0, self.width - 2.0, grid_step)
+        ys = np.arange(3.0, self.height - 2.0, grid_step)
+        cand = np.stack(np.meshgrid(xs, ys), axis=-1).reshape(-1, 2)
+        keep = np.ones(len(cand), dtype=bool)
+        # statics
+        for sx, sy, sr in self.static_obstacles:
+            keep &= (
+                np.linalg.norm(cand - np.array([sx, sy]), axis=1)
+                > sr + robot_radius + 0.2
+            )
+        if len(act):
+            n_steps = int(sim_seconds / self.dt)
+            pos = act[:, :2].copy()
+            vel = act[:, 2:4].copy()
+            clearance = act[:, 4] + robot_radius + margin  # (G,)
+            min_d = np.full(len(cand), np.inf)
+            for _ in range(n_steps):
+                pos += vel * self.dt
+                flip_x = (pos[:, 0] < 0) | (pos[:, 0] > self.width)
+                flip_y = (pos[:, 1] < 0) | (pos[:, 1] > self.height)
+                vel[flip_x, 0] *= -1
+                vel[flip_y, 1] *= -1
+                d = np.linalg.norm(
+                    cand[:, None, :] - pos[None, :, :], axis=-1
+                ) - clearance[None, :]
+                min_d = np.minimum(min_d, d.min(axis=1))
+            keep &= min_d > 0.0
+        return cand[keep]
+
     def ghost_states(self, t=0.0):
         """(G, 5) constant-velocity ghost prediction at time t (no bounce)."""
         g = self.ghosts

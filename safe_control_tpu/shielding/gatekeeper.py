@@ -107,12 +107,22 @@ def step(
     collision_fn: Callable,
     nominal_policy: Optional[Callable] = None,
     nominal_traj: Optional[tuple] = None,
+    terminal_fn: Optional[Callable] = None,
 ) -> GatekeeperOutput:
     """One gatekeeper step (solve_control_problem, :553-665).
 
     Exactly one of ``nominal_policy`` (closed-loop law ``x -> u``) or
     ``nominal_traj`` ((N+1, n) states, (N, m) controls from an external MPC)
     must be provided.  ``collision_fn(state_vec, t_idx)`` must be pure.
+
+    ``terminal_fn(state_vec) -> bool`` (optional) is the invariant-set test
+    on the backup rollout's END state (the reference's terminal check,
+    gatekeeper.py:380-527 / backup_cbf_qp.py:659-671): a candidate is valid
+    only if its backup suffix actually REACHES the invariant set within the
+    backup horizon.  Without it, a commitment can run out mid-transit and
+    drop the robot into the unvalidated live-backup fallback — observed as
+    fleet/warehouse robots exhausting their committed suffix inside a moving
+    obstacle's lane.
     """
     model = get_model(cfg.model_name)
     dt = cfg.dt
@@ -172,7 +182,10 @@ def step(
         coll = jax.vmap(lambda j: collision_fn(bx[j], length + j))(
             jnp.arange(N_B + 1)
         )
-        return bx, bu, ~jnp.any(coll)
+        ok = ~jnp.any(coll)
+        if terminal_fn is not None:
+            ok = ok & terminal_fn(bx[-1])
+        return bx, bu, ok
 
     cand_bx, cand_bu, cand_backup_ok = jax.vmap(cand_backup)(cand_lens)
     cand_valid = nom_safe_prefix[cand_lens] & cand_backup_ok

@@ -194,6 +194,7 @@ class LocalTrackingController:
         self.waypoints = np.zeros((0, 2))
         self.state = None
         self.u_pos = np.zeros(model.N_CONTROLS)
+        self.last_safety_mask = None
         self._step_jit = None
 
     @staticmethod
@@ -280,6 +281,9 @@ class LocalTrackingController:
         )
         self.state = out.state
         self.u_pos = np.asarray(out.u)
+        # The safety-area mask the tracker checked this step ((1,1) when the
+        # grid/sensor path is off) — for replay/animation overlays.
+        self.last_safety_mask = np.asarray(out.safety_mask)
         ret = int(out.ret)
         if ret == tracking.RET_INFEASIBLE and self.raise_error:
             raise InfeasibleError("Infeasible or collision detected !!")

@@ -162,6 +162,11 @@ class StepOutput(NamedTuple):
     ret: jnp.ndarray  # int32 return code for this step
     feasible: jnp.ndarray
     goal: jnp.ndarray  # (2,) active goal (or last waypoint)
+    # The braking-distance safety-area mask actually checked this step
+    # ((nx, ny) grid when cfg.grid + safety_area visibility mode, else a
+    # (1, 1) placeholder) — exposed so replays/animations can draw exactly
+    # what the tracker evaluated (robots/robot.py:656-741 live artists).
+    safety_mask: jnp.ndarray = jnp.zeros((1, 1), dtype=bool)
 
 
 def orientation_of(cfg: TrackerConfig, x, yaw):
@@ -513,6 +518,7 @@ def step(
     # ---- sensing footprint + visibility violation (tracking.py:652-668) ---
     footprint = state.footprint
     beyond = jnp.asarray(False)
+    safety_mask = jnp.zeros((1, 1), dtype=bool)
     if cfg.grid is not None and cfg.use_sensor:
         footprint = grid_mod.update_footprint(
             footprint, cfg.grid, pos_next, yaw_next, spec
@@ -544,6 +550,7 @@ def step(
                 max_decel=cfg.max_decel, max_ang_decel=cfg.max_ang_decel,
                 integrator=is_integrator, vel=vel,
             )
+            safety_mask = tube
             beyond = grid_mod.is_beyond_footprint(
                 footprint, cfg.grid, pos_next, safety_mask=tube
             )
@@ -583,7 +590,10 @@ def step(
             lambda a, b: jnp.where(frozen, a, b), state.att_gk, gk_state
         ),
     )
-    return StepOutput(state=new_state, u=u, ret=new_state.ret, feasible=feasible, goal=wp)
+    return StepOutput(
+        state=new_state, u=u, ret=new_state.ret, feasible=feasible, goal=wp,
+        safety_mask=safety_mask,
+    )
 
 
 def run(

@@ -78,6 +78,50 @@ class Plotting:
                    alpha=0.6, zorder=5)
 
 
+def draw_fov_sector(ax, pos, yaw, spec, color="tab:blue", alpha=0.15, n=24):
+    """Camera FoV wedge, the reference's per-frame FoV triangle
+    (robots/robot.py:180-334, 646-649)."""
+    import matplotlib.pyplot as plt
+
+    pos = np.asarray(pos, dtype=float)
+    half = float(spec.fov_angle) / 2.0
+    ang = np.linspace(float(yaw) - half, float(yaw) + half, n)
+    arc = np.column_stack(
+        [pos[0] + float(spec.cam_range) * np.cos(ang),
+         pos[1] + float(spec.cam_range) * np.sin(ang)]
+    )
+    pts = np.vstack([pos[None, :], arc])
+    patch = plt.Polygon(pts, closed=True, facecolor=color, alpha=alpha,
+                        edgecolor="none", zorder=1)
+    ax.add_patch(patch)
+    return patch
+
+
+def _mask_image(ax, mask, grid_spec, color, alpha, zorder=0):
+    from matplotlib.colors import ListedColormap
+
+    m = np.asarray(mask, dtype=bool).T  # (nx, ny) ij -> imshow (row=y, col=x)
+    img = np.ma.masked_where(~m, np.ones_like(m, dtype=float))
+    return ax.imshow(
+        img, origin="lower",
+        extent=(0, grid_spec.width, 0, grid_spec.height),
+        cmap=ListedColormap([color]), alpha=alpha, zorder=zorder,
+        interpolation="nearest",
+    )
+
+
+def draw_footprint(ax, footprint, grid_spec, color="0.75", alpha=0.45):
+    """Accumulated sensing footprint (robot.py:646-654: the shapely union of
+    FoV triangles, here the occupancy-grid equivalent)."""
+    return _mask_image(ax, footprint, grid_spec, color, alpha, zorder=0)
+
+
+def draw_safety_area(ax, mask, grid_spec, color="tab:red", alpha=0.3):
+    """Braking-distance safety area (robot.py:656-741: the velocity-aligned
+    tube / decelerating arc, as the grid mask the tracker actually checks)."""
+    return _mask_image(ax, mask, grid_spec, color, alpha, zorder=2)
+
+
 def superellipsoid_points(row, n=64):
     """Parametric boundary of a superellipsoid row (plotting.py:189-222)."""
     ox, oy, a, b, e, th = row[:6]
@@ -104,13 +148,29 @@ class AnimationSaver:
 
     def export_video(self, name="tracking.mp4", cleanup=True):
         out = os.path.join(self.output_dir, name)
-        subprocess.call(
-            [
-                "ffmpeg", "-y", "-framerate", str(self.framerate),
-                "-i", os.path.join(self.output_dir, "t_step_%04d.png"),
-                "-pix_fmt", "yuv420p", out,
+        try:
+            subprocess.call(
+                [
+                    "ffmpeg", "-y", "-framerate", str(self.framerate),
+                    "-i", os.path.join(self.output_dir, "t_step_%04d.png"),
+                    "-pix_fmt", "yuv420p", out,
+                ]
+            )
+        except FileNotFoundError:
+            # No ffmpeg on this host: fall back to an animated GIF via
+            # Pillow (always present alongside matplotlib).
+            from PIL import Image
+
+            out = os.path.splitext(out)[0] + ".gif"
+            frames = [
+                Image.open(os.path.join(self.output_dir, f"t_step_{i:04d}.png"))
+                for i in range(self.idx)
             ]
-        )
+            if frames:
+                frames[0].save(
+                    out, save_all=True, append_images=frames[1:],
+                    duration=int(1000 / self.framerate), loop=0,
+                )
         if cleanup:
             for i in range(self.idx):
                 p = os.path.join(self.output_dir, f"t_step_{i:04d}.png")

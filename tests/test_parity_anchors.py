@@ -73,8 +73,8 @@ def test_config1_di_cbf_qp_anchors():
 # the terminal KKT polish; run in f64 (reference precision) by the gates
 # below.
 ACCURACY_CFG = mpc_cbf.MPCConfig(horizon=8, num_obs=5,
-                                 outer_iters=12, newton_iters=4,
-                                 polish_iters=2)
+                                 outer_iters=30, newton_iters=8,
+                                 polish_iters=3)
 
 
 def _run_mpc_anchors(tag, cfg, dtype):

@@ -24,18 +24,37 @@ SPEC = make_spec(DOUBLE_INTEGRATOR_2D, v_max=3.0, a_max=3.0, ax_max=3.0,
 MODEL = get_model(DOUBLE_INTEGRATOR_2D)
 
 
-@pytest.mark.slow
-def test_warehouse_backup_cbf_traversal():
-    env = WarehouseEnv(level=1, dt=DT)
-    wps = env.get_nominal_waypoints()
-    radius = float(SPEC.radius)
+_CTRL_CACHE = {}
+MAX_SPOTS = 1024  # fixed shape: one compile serves every level
 
+
+def _make_ctrl(env):
+    """Jitted BackupCBF control step; one compile serves every level (the
+    ghost table is fixed-shape (MAX_GHOSTS, 5) at all levels, and the
+    safe-spot table is padded to MAX_SPOTS).
+
+    Backup policy: evade to the nearest ghost-path-free parking spot
+    (env.safe_spots — the warehouse analog of the reference's
+    EvadeBackupController pocket, backup_controller.py:420-626).  Plain
+    braking is NOT an invariant set here: corridor sweepers run over a
+    parked robot, which is why the stop-backup variant loses every level
+    above 1.
+    """
+    if "ctrl" in _CTRL_CACHE:
+        return _CTRL_CACHE["ctrl"]
+    radius = float(SPEC.radius)
     static = jnp.asarray(env.static_obstacles, jnp.float32)
 
-    def backup_policy(x):
-        # brake to rest (the warehouse backup set: stationary is safe
-        # w.r.t. boundaries/static obstacles; ghosts pass by)
-        return jnp.clip(-2.0 * x[2:4], -3.0, 3.0)
+    def backup_policy_at(spots):
+        def backup_policy(x):
+            p, v = x[:2], x[2:4]
+            d = jnp.linalg.norm(spots - p[None, :], axis=1)
+            tgt = spots[jnp.argmin(d)]
+            a = 1.0 * (tgt - p) - 2.0 * v
+            mag = jnp.linalg.norm(a)
+            return a * jnp.where(mag > 3.0, 3.0 / jnp.maximum(mag, 1e-9), 1.0)
+
+        return backup_policy
 
     def h_safety_at(ghosts0):
         def h_safety(x, t):
@@ -57,27 +76,54 @@ def test_warehouse_backup_cbf_traversal():
         return h_safety
 
     cfg = bcbf.BackupCBFConfig(
-        model_name=DOUBLE_INTEGRATOR_2D, dt=DT, backup_steps=25, alpha=1.5,
+        model_name=DOUBLE_INTEGRATOR_2D, dt=DT, backup_steps=80, alpha=1.5,
     )
 
     @jax.jit
-    def ctrl(x, goal, ghosts0):
+    def ctrl(x, goal, ghosts0, spots):
         u_ref = MODEL.nominal_input(x, goal, SPEC)
         h_s = h_safety_at(ghosts0)
-        h_t = lambda xx: jnp.minimum(
-            h_s(xx, cfg.backup_steps * DT), 1.0 - jnp.linalg.norm(xx[2:4]) / 0.5
+
+        def h_t(xx):
+            # terminal set: parked at a ghost-path-free spot
+            d = jnp.min(jnp.linalg.norm(spots - xx[:2][None, :], axis=1))
+            return jnp.minimum(1.0 - d, 1.0 - jnp.linalg.norm(xx[2:4]) / 0.5)
+
+        return bcbf.solve(
+            cfg, SPEC, x, u_ref, backup_policy_at(spots), h_s, h_t
         )
-        return bcbf.solve(cfg, SPEC, x, u_ref, backup_policy, h_s, h_t)
+
+    _CTRL_CACHE["ctrl"] = ctrl
+    return ctrl
+
+
+def _padded_spots(env):
+    sp = env.safe_spots(robot_radius=float(SPEC.radius))
+    assert len(sp), "no safe spots at this level"
+    pad = np.tile(sp[-1:], (MAX_SPOTS - len(sp), 1))
+    return jnp.asarray(np.vstack([sp, pad])[:MAX_SPOTS], jnp.float32)
+
+
+def run_warehouse_level(level, max_steps=1200):
+    """Drive the zig-zag route at a ghost level; report the outcome.
+
+    Returns dict(outcome='reached'|'collision'|'stalled', min_h=float,
+    steps=int, min_rollout_h=float).
+    """
+    env = WarehouseEnv(level=level, dt=DT)
+    wps = env.get_nominal_waypoints()
+    radius = float(SPEC.radius)
+    ctrl = _make_ctrl(env)
+    spots = _padded_spots(env)
 
     x = jnp.asarray([10.0, 10.0, 0.0, 0.0], jnp.float32)
     wp_i = 1  # waypoint 0 is the start
     min_h = np.inf
-    reached = False
     min_rollout_h = np.inf
-    for k in range(1200):
+    for k in range(max_steps):
         ghosts0 = env.ghosts
         goal = jnp.asarray(wps[wp_i], jnp.float32)
-        res = ctrl(x, goal, ghosts0)
+        res = ctrl(x, goal, ghosts0, spots)
         x = MODEL.step(x, res.u, SPEC, DT)
         env.step()
         min_rollout_h = min(min_rollout_h, float(res.h_min))
@@ -91,19 +137,53 @@ def test_warehouse_backup_cbf_traversal():
         act = g[:, 4] > 0
         d_ghost = np.min(
             np.linalg.norm(p - g[act, :2], axis=1) - g[act, 4]
-        )
+        ) if act.any() else np.inf
         min_h = min(min_h, d_static - radius, d_ghost - radius)
-        assert d_static > radius - 0.05, f"static collision at step {k}"
-        assert d_ghost > radius - 0.05, f"ghost collision at step {k}"
+        if min_h < -0.05:
+            return dict(outcome="collision", min_h=min_h, steps=k,
+                        min_rollout_h=min_rollout_h)
         if np.linalg.norm(p - wps[wp_i]) < 2.0:
             wp_i += 1
             if wp_i == len(wps):
-                reached = True
-                break
-    assert reached, f"stalled at waypoint {wp_i}, x={np.asarray(x)}"
-    assert min_h > -0.05
+                return dict(outcome="reached", min_h=min_h, steps=k,
+                            min_rollout_h=min_rollout_h)
+    return dict(outcome="stalled", min_h=min_h, steps=max_steps,
+                min_rollout_h=min_rollout_h, wp_i=wp_i)
+
+
+@pytest.mark.slow
+def test_warehouse_backup_cbf_traversal():
+    r = run_warehouse_level(1)
+    assert r["outcome"] == "reached", r
+    assert r["min_h"] > -0.05
     # the filter reasoned about a genuinely nearby hazard at least once
-    assert min_rollout_h < 3.0, min_rollout_h
+    assert r["min_rollout_h"] < 3.0, r
+
+
+# Expected outcomes per ghost level (see the reference's leveled tables,
+# warehouse_env.py:24-266).  The BackupCBF's backup set is "braked to rest";
+# a parked robot is safe w.r.t. boundaries and static obstacles but NOT
+# provably safe against ghosts beyond the 2.5 s validated prediction window,
+# so survivability is expected to degrade with traffic density — the same
+# deliberate negative-result structure as the reference's puddle_surprise
+# drift case (test_drift.py:662-689).  This table records the measured
+# behavior of the committed stack so regressions in either direction
+# (new collisions OR silently changed dynamics) are caught.
+WAREHOUSE_EXPECTED = {
+    2: "reached",
+    3: "reached",
+    4: "reached",
+    5: "reached",
+    6: "reached",
+    7: "reached",
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("level", sorted(WAREHOUSE_EXPECTED))
+def test_warehouse_levels_closed_loop(level):
+    r = run_warehouse_level(level)
+    assert r["outcome"] == WAREHOUSE_EXPECTED[level], (level, r)
 
 
 def test_warehouse_levels_6_7_exact_tables():
