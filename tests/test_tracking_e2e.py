@@ -122,3 +122,47 @@ def test_batched_fleet_vmap():
     assert np.isfinite(np.asarray(out)).all()
     # Robots started apart must stay distinct (no cross-batch leakage).
     assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_strict_mpc_feasibility_flags_doomed_state():
+    """strict_mpc_feasibility=True turns genuine MPC infeasibility into
+    RET_INFEASIBLE; the default reproduces the reference's hardcoded
+    'optimal' (mpc_cbf.py:10) and keeps running.
+
+    Doomed state: DynamicUnicycle2D at 1 m/s pointed at a wall of obstacles
+    0.6 m ahead with a_max=0.05 — no control satisfies the dt-HOCBF rows.
+    """
+    spec = make_spec(DYNAMIC_UNICYCLE_2D, a_max=0.05, w_max=0.2, v_max=2.0)
+    obs = pad_obstacles(
+        jnp.asarray(
+            [[1.2, 0.0, 0.4, 0, 0, 0, 0], [1.2, 0.9, 0.4, 0, 0, 0, 0],
+             [1.2, -0.9, 0.4, 0, 0, 0, 0]], jnp.float32,
+        ),
+        16,
+    )
+    wps = jnp.asarray([[8.0, 0.0]], jnp.float32)
+    x0 = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
+
+    rets = {}
+    for strict in (False, True):
+        cfg = tracking.TrackerConfig(
+            model_name=DYNAMIC_UNICYCLE_2D, pos_controller="mpc_cbf", dt=0.05,
+            num_obs=8, strict_mpc_feasibility=strict,
+            mpc=mpc_cbf.MPCConfig(horizon=8, num_obs=5),
+        )
+        st = tracking.init_state(cfg, spec, x0, 0.0, first_goal=wps[0])
+        step = jax.jit(
+            lambda s: tracking.step(cfg, spec, s, wps, jnp.asarray(1), obs)
+        )
+        seen = []
+        for _ in range(6):
+            out = step(st)
+            st = out.state
+            seen.append(int(out.ret))
+        rets[strict] = seen
+    # strict mode must flag the doomed state quickly...
+    assert tracking.RET_INFEASIBLE in rets[True], rets
+    first_strict = rets[True].index(tracking.RET_INFEASIBLE)
+    # ...while reference mode at the same instant has not (it only fails on
+    # actual collision, which takes longer than the solver's verdict)
+    assert rets[False][first_strict] != tracking.RET_INFEASIBLE, rets
