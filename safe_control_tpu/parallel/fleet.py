@@ -346,6 +346,146 @@ def step_fleet_shielded(
     )
 
 
+def step_fleet_shielded_sharded(
+    groups: List[ShieldedGroup],
+    specs,
+    state: ShieldedFleetState,
+    waypoints_list,  # per group (count, W, 2)
+    n_waypoints_list,
+    known_obs,
+    mesh,
+    n_steps: int = 1,
+    k_neighbors: int = 4,
+) -> ShieldedFleetState:
+    """Multi-chip ``step_fleet_shielded``: robots sharded over the scenario
+    mesh, with the fleet-wide neighbor snapshot assembled by an
+    ``all_gather`` riding ICI.
+
+    This is BASELINE anchor config 5 at pod scale: every group's robot axis
+    is block-sharded (counts must divide the mesh size); each device
+    computes its local robots' [x, y, vx, vy, radius] rows, one tiled
+    all_gather per group rebuilds the (total, 5) snapshot everywhere, and
+    the per-robot gatekeeper commitment step then proceeds exactly as in
+    the single-device path — the collective is the ONLY cross-device
+    communication per chunk.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from safe_control_tpu.parallel.mesh import SCENARIO_AXIS
+
+    n_dev = mesh.devices.size
+    for g in groups:
+        if g.count % n_dev:
+            raise ValueError(
+                f"group count {g.count} must divide the mesh size {n_dev}"
+            )
+    offs = np.cumsum([0] + [g.count for g in groups])
+
+    def body(state, wps_tuple, known):
+        new_x, new_gidx, new_gk, new_bk, new_cm = [], [], [], [], []
+        rows_local = []
+        for g, st_x in zip(groups, state.x):
+            model = get_model(g.model_name)
+            pos = jax.vmap(model.barrier_pos)(st_x)
+            vel = jax.vmap(lambda xr: _planar_velocity(g.model_name, xr))(st_x)
+            rows_local.append(
+                jnp.concatenate(
+                    [pos, vel,
+                     jnp.full((st_x.shape[0], 1), g.robot_radius)], axis=1
+                )
+            )
+        allrows = jnp.concatenate(
+            [jax.lax.all_gather(r, SCENARIO_AXIS, axis=0, tiled=True)
+             for r in rows_local],
+            axis=0,
+        )
+        total = allrows.shape[0]
+        shard = jax.lax.axis_index(SCENARIO_AXIS)
+
+        for gi, (g, spec) in enumerate(zip(groups, specs)):
+            model = get_model(g.model_name)
+            dt = g.gk.dt
+            wps = wps_tuple[gi]
+            n_wps = n_waypoints_list[gi]
+            W = wps.shape[1]
+            local = g.count // n_dev
+            self_idx = offs[gi] + shard * local + jnp.arange(local)
+            pos_g = jax.vmap(model.barrier_pos)(state.x[gi])
+            d = jnp.linalg.norm(
+                allrows[None, :, :2] - pos_g[:, None, :], axis=-1
+            )
+            d = d.at[jnp.arange(local), self_idx].set(jnp.inf)
+            k = min(k_neighbors, total - 1)
+            _, nbr_idx = jax.lax.top_k(-d, k)
+            nbrs = allrows[nbr_idx]
+
+            def one(x, gk_st, goal_idx, bk, cm, nbr, wps_r):
+                def step_body(carry, s):
+                    x, gk_st, goal_idx, bk, cm = carry
+                    wp = wps_r[jnp.clip(goal_idx, 0, W - 1)]
+
+                    def nominal_policy(xx):
+                        return model.nominal_input(xx, wp, spec)
+
+                    backup_policy = _brake_policy(g.model_name, spec, dt)
+
+                    def collision_fn(xx, t_idx):
+                        p = model.barrier_pos(xx)
+                        static_hit = tracking.collision_any(
+                            spec.replace(radius=g.robot_radius), p, known
+                        )
+                        t_abs = (s + t_idx).astype(p.dtype) * dt
+                        np_t = nbr[:, :2] + nbr[:, 2:4] * t_abs
+                        dist = jnp.linalg.norm(np_t - p, axis=1)
+                        robot_hit = jnp.any(
+                            dist < nbr[:, 4] + g.robot_radius + g.safety_margin
+                        )
+                        return static_hit | robot_hit
+
+                    out = gk_mod.step(
+                        g.gk, spec, gk_st, x, backup_policy, collision_fn,
+                        nominal_policy=nominal_policy,
+                    )
+                    x1 = model.step(x, out.u, spec, dt)
+                    reached = (
+                        jnp.linalg.norm(model.barrier_pos(x1) - wp)
+                        < g.reached_threshold
+                    ) & (goal_idx < n_wps)
+                    goal_idx = jnp.where(reached, goal_idx + 1, goal_idx)
+                    bk = bk + out.using_backup.astype(jnp.int32)
+                    cm = cm + out.candidate_found.astype(jnp.int32)
+                    return (x1, out.state, goal_idx, bk, cm), None
+
+                carry, _ = jax.lax.scan(
+                    step_body, (x, gk_st, goal_idx, bk, cm),
+                    jnp.arange(n_steps),
+                )
+                return carry
+
+            x1, gk1, gidx1, bk1, cm1 = jax.vmap(one)(
+                state.x[gi], state.gk[gi], state.goal_idx[gi],
+                state.backup_steps[gi], state.commits[gi], nbrs, wps,
+            )
+            new_x.append(x1)
+            new_gk.append(gk1)
+            new_gidx.append(gidx1)
+            new_bk.append(bk1)
+            new_cm.append(cm1)
+        return ShieldedFleetState(
+            x=tuple(new_x), goal_idx=tuple(new_gidx), gk=tuple(new_gk),
+            backup_steps=tuple(new_bk), commits=tuple(new_cm),
+        )
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS), P()),
+        out_specs=P(SCENARIO_AXIS),
+        check_rep=False,
+    )(state, tuple(waypoints_list), known_obs)
+
+
 def shielded_fleet_stats(
     groups: List[ShieldedGroup], state: ShieldedFleetState
 ) -> Dict[str, float]:

@@ -141,3 +141,36 @@ def test_shielded_headon_pair_stops_safely():
     stats = fleet_mod.shielded_fleet_stats(groups, state)
     assert min_clear > 0.0, f"head-on pair collided: clearance {min_clear}"
     assert stats["backup_steps"] > 0, stats
+
+
+@pytest.mark.slow
+def test_sharded_shielded_fleet_matches_single_device():
+    """Robots sharded over the 8-device mesh with an all_gather neighbor
+    snapshot must produce the same trajectories as the single-device path
+    (pure data sharding + one collective; no algorithmic difference)."""
+    from safe_control_tpu.parallel.mesh import scenario_mesh, shard_leading_axis
+
+    groups, specs, x0s, wps, n_wps, known = build_fleet(n_per_group=16)
+    mesh = scenario_mesh(8)
+
+    s_ref = fleet_mod.init_shielded_fleet(groups, x0s)
+    s_shard = jax.device_put(s_ref)
+    step_ref = jax.jit(
+        lambda s: fleet_mod.step_fleet_shielded(
+            groups, specs, s, wps, n_wps, known, n_steps=3, k_neighbors=4
+        )
+    )
+    step_shard = jax.jit(
+        lambda s, w: fleet_mod.step_fleet_shielded_sharded(
+            groups, specs, s, w, n_wps, known, mesh, n_steps=3, k_neighbors=4
+        )
+    )
+    wps_sharded = [shard_leading_axis(mesh, w) for w in wps]
+    s_shard = shard_leading_axis(mesh, s_shard)
+    for _ in range(4):
+        s_ref = step_ref(s_ref)
+        s_shard = step_shard(s_shard, wps_sharded)
+    for a, b in zip(s_ref.x, s_shard.x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    for a, b in zip(s_ref.backup_steps, s_shard.backup_steps):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
