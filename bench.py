@@ -145,6 +145,55 @@ def bench_mpcc_n30(batch=256, reps=3):
     return batch * reps / (time.perf_counter() - t0)
 
 
+def bench_fused_du_kernel(batch=4096, reps=5):
+    """Fused Pallas DU N=8 kernel (solvers/mpc_du_kernel.py).
+
+    GATED behind SAFE_CONTROL_BENCH_KERNEL=1: the Mosaic compile of the
+    mega-kernel takes ~15 minutes (one-time), which must not put the
+    round's headline bench at risk.  Measured 2026-08-21 on the v5e:
+    244,452 solves/s (see KERNEL_BENCH_r03.json / PERF.md), 5.5x the XLA
+    lowering of the same algorithm.
+    """
+    import os
+
+    if os.environ.get("SAFE_CONTROL_BENCH_KERNEL") != "1":
+        return "skipped (set SAFE_CONTROL_BENCH_KERNEL=1; ~15 min compile)"
+    import jax
+    import jax.numpy as jnp
+
+    from safe_control_tpu.core.spec import DYNAMIC_UNICYCLE_2D, make_spec
+    from safe_control_tpu.core.types import pad_obstacles
+    from safe_control_tpu.solvers import mpc_du_kernel as duk
+
+    spec = make_spec(DYNAMIC_UNICYCLE_2D, a_max=1.0, w_max=0.5)
+    params = (0.05, float(spec.mpc_cbf_alpha1), float(spec.mpc_cbf_alpha2),
+              float(spec.cbf_beta), float(spec.radius), float(spec.v_max),
+              float(spec.a_max), float(spec.w_max))
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(0, 4, (batch, 2)),
+             rng.uniform(-np.pi, np.pi, (batch, 1)),
+             rng.uniform(0, 0.8, (batch, 1))], axis=1), jnp.float32)
+    goals = jnp.tile(jnp.array([5.0, 5.0, 0.0, 0.0], jnp.float32), (batch, 1))
+    obs1 = pad_obstacles(
+        jnp.asarray([[3.0, 3.0, 0.4, 0, 0, 0, 0],
+                     [2.0, 4.0, 0.3, 0, 0, 0, 0]], jnp.float32), 5)
+    obs = jnp.tile(obs1[None], (batch, 1, 1))
+    u_prevs = jnp.zeros((batch, 2), jnp.float32)
+    res = duk.solve_du_batch(xs, goals, obs, u_prevs,
+                             jnp.zeros((batch, 8, 2), jnp.float32), params)
+    _ = _fetch(res.u[:1])
+    best = 0.0
+    for _round in range(2):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            res = duk.solve_du_batch(xs, goals, obs, u_prevs, res.U, params)
+        _ = _fetch(res.u[:1, :1])
+        best = max(best, batch * reps / (time.perf_counter() - t0))
+    return round(best, 1)
+
+
 def bench_per_step_latency():
     """Single-robot control_step() wall time through the public wrapper."""
     from safe_control_tpu.sim.controller import LocalTrackingController
@@ -266,6 +315,7 @@ def main() -> None:
         ("vtol_mpc_n30_solves_per_sec", bench_vtol_n30),
         ("mpcc_n30_solves_per_sec", bench_mpcc_n30),
         ("per_step_latency_ms", bench_per_step_latency),
+        ("fused_du_kernel_solves_per_sec", bench_fused_du_kernel),
         ("fleet_shielded_1024", bench_fleet_shielded),
     ):
         try:

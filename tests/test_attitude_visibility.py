@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from safe_control_tpu.attitude import gatekeeper_att as gka
 from safe_control_tpu.attitude.visibility import (
@@ -48,6 +49,7 @@ def test_visibility_raycast_prefers_unexplored():
     assert abs(w) > 0.05
 
 
+@pytest.mark.slow
 def test_gatekeeper_att_reacts_to_unknown_path():
     """Predicted path leaves the known map while the camera faces away: the
     reactive fallback (gatekeeper_attitude.py:520-546) must fire and the yaw
@@ -91,6 +93,7 @@ def test_gatekeeper_att_quiet_when_path_known():
     assert int(info["nominal_len"]) == cfg.nominal_steps
 
 
+@pytest.mark.slow
 def test_gatekeeper_att_commits_longest_valid_prefix():
     """Map-edge scenario reproducing the reference's commit semantics
     (gatekeeper_attitude.py:556-598): the crossing step CAPS the nominal

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from safe_control_tpu.core.spec import (
     DOUBLE_INTEGRATOR_2D,
@@ -90,6 +91,7 @@ def test_closed_loop_no_collision_double_integrator():
     assert float(x[0]) > 3.0
 
 
+@pytest.mark.slow
 def test_batched_solve_matches_single():
     spec = make_spec(DYNAMIC_UNICYCLE_2D)
     obs = pad_obstacles(jnp.array([[2.0, 0.5, 0.5, 0, 0, 0, 0]]), K)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from safe_control_tpu.core.spec import DYNAMIC_UNICYCLE_2D, make_spec
 from safe_control_tpu.core.types import pad_obstacles
@@ -53,6 +54,7 @@ def test_factor_sub_many_rhs():
     assert np.max(np.abs(np.asarray(X) - ref)) < 1e-3 * np.max(np.abs(ref))
 
 
+@pytest.mark.slow
 def test_mpc_cbf_blocked_path_solves():
     """Horizon 25 x 2 controls = 50 decision vars: exercises the blocked
     Newton solve (between _UNROLL_CHOL_MAX=40 and _BLOCKED_CHOL_MAX)."""

@@ -40,6 +40,7 @@ def test_optimal_decay_cbf_qp_tracks_goal():
     assert tracking.RET_DONE in rets, np.asarray(c.robot_state)
 
 
+@pytest.mark.slow
 def test_optimal_decay_mpc_cbf_tracks_goal():
     # optimal_decay_mpc_cbf dispatch (tracking.py:147-150).
     c = LocalTrackingController(
@@ -85,6 +86,7 @@ def test_attitude_dispatch_rotates_camera(att):
     assert bool(np.asarray(c.state.footprint).any())
 
 
+@pytest.mark.slow
 def test_gatekeeper_attitude_with_mpc_prediction():
     # GatekeeperAtt wired to the positional MPC prediction
     # (gatekeeper_attitude.py:159-241 + tracking.py:173-176).
@@ -149,6 +151,7 @@ def test_visibility_violation_reachable_through_wrapper():
     assert tracking.RET_VISIBILITY in rets
 
 
+@pytest.mark.slow
 def test_vtol_collision_oracle_ground_and_pitch():
     # VTOL ground-strike / pitch terms (tracking.py:488-495) fire through the
     # orchestrator's collision oracle, not hand-checks in the example.

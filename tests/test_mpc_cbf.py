@@ -130,6 +130,7 @@ def _our_solution(x0, goal, u_prev, obs):
         ),
     ],
 )
+@pytest.mark.slow
 def test_first_control_matches_scipy(x0, goal_xy, obs_rows):
     goal = np.array([goal_xy[0], goal_xy[1], 0.0, 0.0])
     u_prev = np.zeros(2)
@@ -178,6 +179,7 @@ def test_closed_loop_obstacle_avoidance():
     assert min_clear > float(SPEC.radius) - 0.02  # no collision (beta=1.01 margin)
 
 
+@pytest.mark.slow
 def test_batched_solve_consistency():
     obs = pad_obstacles(jnp.array([[1.5, 0.1, 0.3, 0, 0, 0, 0]]), K)
     goal = jnp.array([3.0, 0.0, 0.0, 0.0])

@@ -3,6 +3,7 @@ relaxation (optimal_decay_cbf_qp.py, optimal_decay_mpc_cbf.py)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from safe_control_tpu.core.spec import DYNAMIC_UNICYCLE_2D, make_spec
 from safe_control_tpu.core.types import pad_obstacles
@@ -50,6 +51,7 @@ def test_od_qp_feasible_where_plain_infeasible():
     assert abs(float(res.omega2) - 1.0) < 1e-2
 
 
+@pytest.mark.slow
 def test_od_mpc_feasible_in_tight_scene():
     obs = pad_obstacles(jnp.asarray([[1.2, 0.0, 0.5, 0, 0, 0, 0]]), 5)
     x0 = jnp.array([0.0, 0.0, 0.0, 1.0])

@@ -4,6 +4,7 @@ psum reductions, checkpoint/resume, metrics (SURVEY.md §2.5, §5)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from safe_control_tpu.core.spec import KINEMATIC_BICYCLE_2D_DPCBF, make_spec
 from safe_control_tpu.parallel import monte_carlo as mc
@@ -25,6 +26,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_sharded_sweep_matches_single_device():
     """The same 16-scenario sweep must give identical return codes whether
     run on 1 device or sharded over 8 (determinism across sharding)."""
@@ -47,6 +49,7 @@ def test_sharded_sweep_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_dpcbf_mini_monte_carlo_safety():
     """32-scenario DPCBF sweep (anchor config 4, scaled down).
 
@@ -76,6 +79,7 @@ def test_dpcbf_mini_monte_carlo_safety():
     assert filt < 0.5 * base + 1e-9, f"filtered {filt} vs baseline {base}"
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_bitexact(tmp_path):
     """Saving mid-sweep and resuming must reproduce the uninterrupted run."""
     key = jax.random.PRNGKey(7)

@@ -56,6 +56,7 @@ def _dev(ours, gold):
     return np.max(np.abs(np.asarray(ours, dtype=float) - gold))
 
 
+@pytest.mark.slow
 def test_config1_di_cbf_qp_anchors():
     spec = make_spec(DOUBLE_INTEGRATOR_2D)
     obs = pad_obstacles(jnp.asarray(DATA["c1_obs"], jnp.float32), 5)
@@ -130,6 +131,7 @@ def test_mpc_cbf_anchors_f32_envelope(tag):
     "tag,model_name",
     [("c4c", KINEMATIC_BICYCLE_2D_C3BF), ("c4d", KINEMATIC_BICYCLE_2D_DPCBF)],
 )
+@pytest.mark.slow
 def test_config4_kb_dynamic_obstacle_anchors(tag, model_name):
     spec = make_spec(model_name)
     worst = 0.0
@@ -146,6 +148,7 @@ def test_config4_kb_dynamic_obstacle_anchors(tag, model_name):
     assert worst < TOL, f"{tag} worst deviation {worst}"
 
 
+@pytest.mark.slow
 def test_config5_fleet_family_anchors():
     spec = make_spec(DYNAMIC_UNICYCLE_2D, a_max=1.0, w_max=0.8, v_max=0.7)
     obs = pad_obstacles(jnp.asarray(DATA["c5_obs"], jnp.float32), 8)

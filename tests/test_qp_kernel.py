@@ -29,6 +29,7 @@ def _random_qps(seed, B, n, m, one_sided=3):
     return to(P), to(q), to(A), to(l), to(u)
 
 
+@pytest.mark.slow
 def test_matches_xla_path():
     P, q, A, l, u = _random_qps(0, 8, 3, 10)
     ref = jax.vmap(lambda *a: solve_qp(*a, iters=400))(P, q, A, l, u)
@@ -70,6 +71,7 @@ def test_active_inequality_kkt():
     assert float(sol.prim_res[0]) < 1e-5
 
 
+@pytest.mark.slow
 def test_non_tile_multiple_batch():
     # Batch not a multiple of 128 exercises the padding path.
     P, q, A, l, u = _random_qps(1, 5, 2, 6, one_sided=1)
@@ -80,6 +82,7 @@ def test_non_tile_multiple_batch():
     assert dx < 1e-3
 
 
+@pytest.mark.slow
 def test_manipulator_scale_row_count():
     # The Manipulator2D CBF-QP reaches ~150 rows (reference tracking.py:
     # 134-138).  The row-aware tile (qp_kernel._tile_for) must shrink the
@@ -110,6 +113,7 @@ def test_manipulator_scale_row_count():
     assert dx < 2e-3, dx
 
 
+@pytest.mark.slow
 def test_manipulator_cbf_qp_pallas_backend():
     # End-to-end: the real Manipulator2D link-circle CBF-QP (n=3 joint
     # velocities, 5 obstacles x link-circle rows) through the Pallas backend.

@@ -124,6 +124,7 @@ def test_batched_fleet_vmap():
     assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
 
 
+@pytest.mark.slow
 def test_strict_mpc_feasibility_flags_doomed_state():
     """strict_mpc_feasibility=True turns genuine MPC infeasibility into
     RET_INFEASIBLE; the default reproduces the reference's hardcoded
