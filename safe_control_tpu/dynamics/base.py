@@ -30,7 +30,10 @@ import jax.numpy as jnp
 
 from safe_control_tpu.core.types import angle_normalize  # re-export for models
 
-__all__ = ["angle_normalize", "register", "get_model", "MODEL_REGISTRY"]
+__all__ = [
+    "angle_normalize", "masked_apply", "register", "get_model",
+    "MODEL_REGISTRY",
+]
 
 MODEL_REGISTRY: Dict[str, ModuleType] = {}
 
@@ -50,6 +53,22 @@ def get_model(name: str) -> ModuleType:
 
 def euler(x, dx, dt):
     return x + dx * dt
+
+
+def masked_apply(x, fn, lo: int, hi: int):
+    """Apply an elementwise ``fn`` to ``x[lo:hi]`` as a branch-free select.
+
+    Equivalent to ``x.at[lo:hi].set(fn(x)[lo:hi])`` but lowers to a
+    constant-mask ``where`` instead of scatter — model ``step`` functions
+    run inside fused Pallas kernels (solvers/mpc_fused.py), and Mosaic has
+    no scatter lowering.  ``fn`` must be safe to evaluate on the whole
+    vector (only the masked lanes are kept).
+    """
+    import numpy as _np
+
+    mask = _np.zeros(x.shape[0], bool)
+    mask[lo:hi] = True
+    return jnp.where(jnp.asarray(mask), fn(x), x)
 
 
 def free_bounds(n: int):

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from safe_control_tpu.dynamics.base import angle_normalize
+from safe_control_tpu.dynamics.base import angle_normalize, masked_apply
 
 N_STATES = 4
 N_CONTROLS = 2
@@ -32,7 +32,7 @@ def step(x, u, spec, dt):
     # Velocity-magnitude clamp (:82-106); branch-free.
     v_mag = jnp.sqrt(x[2] ** 2 + x[3] ** 2)
     scale = jnp.where(v_mag > spec.v_max, spec.v_max / jnp.maximum(v_mag, 1e-9), 1.0)
-    return x.at[2:4].multiply(scale)
+    return masked_apply(x, lambda v: v * scale, 2, 4)
 
 
 def nominal_input(x, goal, spec, d_min=0.05):

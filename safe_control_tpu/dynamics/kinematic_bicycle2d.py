@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from safe_control_tpu.dynamics.base import angle_normalize
+from safe_control_tpu.dynamics.base import angle_normalize, masked_apply
 
 N_STATES = 4
 N_CONTROLS = 2
@@ -48,8 +48,8 @@ def g(x, spec):
 
 def step(x, u, spec, dt):
     x = x + (f(x, spec) + g(x, spec) @ u) * dt
-    x = x.at[2].set(angle_normalize(x[2]))
-    return x.at[3].set(jnp.clip(x[3], spec.v_min, spec.v_max))
+    x = masked_apply(x, angle_normalize, 2, 3)
+    return masked_apply(x, lambda v: jnp.clip(v, spec.v_min, spec.v_max), 3, 4)
 
 
 def nominal_input(x, goal, spec, d_min=0.05, k_theta=0.5, k_a=1.5, k_v=0.5):

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from safe_control_tpu.barriers.geometry import h_circle
-from safe_control_tpu.dynamics.base import angle_normalize
+from safe_control_tpu.dynamics.base import angle_normalize, masked_apply
 
 N_STATES = 12
 N_CONTROLS = 4
@@ -70,7 +70,7 @@ def step(x, u, spec, dt):
     k3 = A @ (x + dt / 2 * k2) + Bu
     k4 = A @ (x + dt * k3) + Bu
     xn = x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
-    return xn.at[3:6].set(angle_normalize(xn[3:6]))
+    return masked_apply(xn, angle_normalize, 3, 6)
 
 
 def _allocate(spec, dtype, F, tau_y, tau_x, tau_z):

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from safe_control_tpu.dynamics.base import angle_normalize
+from safe_control_tpu.dynamics.base import angle_normalize, masked_apply
 
 N_STATES = 3
 N_CONTROLS = 2
@@ -33,7 +33,7 @@ def g(x, spec):
 
 def step(x, u, spec, dt):
     x = x + (f(x, spec) + g(x, spec) @ u) * dt
-    return x.at[2].set(angle_normalize(x[2]))
+    return masked_apply(x, angle_normalize, 2, 3)
 
 
 def nominal_input(x, goal, spec, d_min=0.05, k_omega=2.0, k_v=1.0):

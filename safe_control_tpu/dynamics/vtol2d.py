@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from safe_control_tpu.barriers.geometry import h_circle
-from safe_control_tpu.dynamics.base import angle_normalize
+from safe_control_tpu.dynamics.base import angle_normalize, masked_apply
 
 N_STATES = 6
 N_CONTROLS = 4
@@ -117,7 +117,7 @@ def g(x, spec):
 
 def step(x, u, spec, dt):
     x = x + (f(x, spec) + g(x, spec) @ u) * dt
-    return x.at[2].set(angle_normalize(x[2]))
+    return masked_apply(x, angle_normalize, 2, 3)
 
 
 def nominal_input(x, goal, spec):

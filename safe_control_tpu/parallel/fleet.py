@@ -172,56 +172,124 @@ class ShieldedFleetState(NamedTuple):
     commits: Tuple[jnp.ndarray, ...]  # per group (count,) int32 cumulative
 
 
-def _brake_policy(model_name: str, spec, dt: float):
-    """Deadbeat full brake: reach v = 0 *inside* the validated backup window.
+# --- shielded-fleet model-family registries --------------------------------
+# Shielding soundness rests on BOTH of these being correct for every family
+# in the fleet: the brake policy must actually PARK the robot inside the
+# validated backup window (an exponential ``model.stop`` never reaches
+# zero and keeps creeping past the validated horizon), and the planar
+# velocity feeds the constant-velocity neighbor prediction every OTHER
+# robot validates its commitments against (zeros would silently validate
+# against static ghosts of a moving robot).  Unsupported families therefore
+# RAISE at fleet-construction time instead of silently degrading — register
+# model-specific implementations via the two ``register_*`` functions.
 
-    ``model.stop`` is the reference's exponential law u = -k v, which never
-    actually stops — past the validated backup horizon the robot keeps
-    creeping (v0 e^{-kT} after T seconds), and two creeping robots close the
-    gap the validation promised.  The reference's StoppingController brakes
-    to zero and HOLDS (backup_controller.py:261-417); the discrete-time
-    equivalent is u = -v/dt clipped to the actuator limit, which parks the
-    robot in ceil(v0 / (a_max dt)) steps and stays parked.
-    """
-    if model_name == spec_mod.DOUBLE_INTEGRATOR_2D:
-        def brake(x):
-            a = -x[2:4] / dt
-            mag = jnp.linalg.norm(a)
-            return a * jnp.where(
-                mag > spec.a_max, spec.a_max / jnp.maximum(mag, 1e-9), 1.0
+
+def _di_brake(spec, dt):
+    def brake(x):
+        a = -x[2:4] / dt
+        mag = jnp.linalg.norm(a)
+        return a * jnp.where(
+            mag > spec.a_max, spec.a_max / jnp.maximum(mag, 1e-9), 1.0
+        )
+    return brake
+
+
+def _heading_speed_brake(spec, dt):
+    try:
+        if float(spec.v_min) > 0.0:
+            raise ValueError(
+                f"{spec.model}: spec.v_min={float(spec.v_min)} > 0 — the "
+                "model's step clamp keeps it moving forever, so a brake "
+                "backup can never park it and shielded-fleet commitments "
+                "would be unsound.  Configure the group's spec with "
+                "v_min=0 (the reference's KinematicBicycle2D default of "
+                "0.2 models a minimum-speed vehicle, which cannot join a "
+                "brake-backup fleet)."
             )
-        return brake
-    if model_name in (
-        spec_mod.DYNAMIC_UNICYCLE_2D,
-        spec_mod.KINEMATIC_BICYCLE_2D,
-        spec_mod.KINEMATIC_BICYCLE_2D_C3BF,
-        spec_mod.KINEMATIC_BICYCLE_2D_DPCBF,
-    ):
-        def brake(x):
-            a = jnp.clip(-x[3] / dt, -spec.a_max, spec.a_max)
-            return jnp.array([a, 0.0], dtype=x.dtype)
-        return brake
-    model = get_model(model_name)
-    return lambda x: model.stop(x, spec)
+    except TypeError:  # traced spec: checked at concrete build sites
+        pass
+
+    def brake(x):
+        a = jnp.clip(-x[3] / dt, -spec.a_max, spec.a_max)
+        return jnp.array([a, 0.0], dtype=x.dtype)
+    return brake
+
+
+def _di_planar_velocity(x):
+    return x[2:4]
+
+
+def _heading_speed_planar_velocity(x):
+    return x[3] * jnp.array([jnp.cos(x[2]), jnp.sin(x[2])])
+
+
+# builders: (spec, dt) -> (x -> u) deadbeat full-brake policy that parks
+# within ceil(v0 / (a_max dt)) steps and HOLDS (the discrete-time version
+# of the reference's StoppingController, backup_controller.py:261-417)
+BRAKE_REGISTRY = {
+    spec_mod.DOUBLE_INTEGRATOR_2D: _di_brake,
+    spec_mod.DYNAMIC_UNICYCLE_2D: _heading_speed_brake,
+    spec_mod.KINEMATIC_BICYCLE_2D: _heading_speed_brake,
+    spec_mod.KINEMATIC_BICYCLE_2D_C3BF: _heading_speed_brake,
+    spec_mod.KINEMATIC_BICYCLE_2D_DPCBF: _heading_speed_brake,
+}
+
+# x -> (2,) ground-plane velocity for constant-velocity neighbor prediction
+PLANAR_VELOCITY_REGISTRY = {
+    spec_mod.DOUBLE_INTEGRATOR_2D: _di_planar_velocity,
+    spec_mod.DYNAMIC_UNICYCLE_2D: _heading_speed_planar_velocity,
+    spec_mod.KINEMATIC_BICYCLE_2D: _heading_speed_planar_velocity,
+    spec_mod.KINEMATIC_BICYCLE_2D_C3BF: _heading_speed_planar_velocity,
+    spec_mod.KINEMATIC_BICYCLE_2D_DPCBF: _heading_speed_planar_velocity,
+}
+
+
+def register_brake_policy(model_name: str, builder) -> None:
+    """Register a deadbeat brake-policy builder ``(spec, dt) -> (x -> u)``
+    for a model family; required before that family can join a shielded
+    fleet.  The policy must reach zero velocity within the validated backup
+    window and hold."""
+    BRAKE_REGISTRY[model_name] = builder
+
+
+def register_planar_velocity(model_name: str, fn) -> None:
+    """Register ``x -> (2,) planar velocity`` for a model family (feeds the
+    constant-velocity neighbor prediction other robots validate against)."""
+    PLANAR_VELOCITY_REGISTRY[model_name] = fn
+
+
+def _brake_policy(model_name: str, spec, dt: float):
+    try:
+        return BRAKE_REGISTRY[model_name](spec, dt)
+    except KeyError:
+        raise KeyError(
+            f"no registered shielded-fleet brake policy for {model_name!r}; "
+            "register one with parallel.fleet.register_brake_policy (a "
+            "silent model.stop fallback would creep past the validated "
+            "backup window)"
+        ) from None
 
 
 def _planar_velocity(model_name: str, x):
-    """Ground-plane velocity for constant-velocity neighbor prediction."""
-    if model_name == spec_mod.DOUBLE_INTEGRATOR_2D:
-        return x[2:4]
-    if model_name in (
-        spec_mod.DYNAMIC_UNICYCLE_2D,
-        spec_mod.KINEMATIC_BICYCLE_2D,
-        spec_mod.KINEMATIC_BICYCLE_2D_C3BF,
-        spec_mod.KINEMATIC_BICYCLE_2D_DPCBF,
-    ):
-        return x[3] * jnp.array([jnp.cos(x[2]), jnp.sin(x[2])])
-    return jnp.zeros(2, dtype=x.dtype)
+    try:
+        return PLANAR_VELOCITY_REGISTRY[model_name](x)
+    except KeyError:
+        raise KeyError(
+            f"no registered planar-velocity extractor for {model_name!r}; "
+            "register one with parallel.fleet.register_planar_velocity (a "
+            "silent zeros fallback would validate commitments against "
+            "static ghosts of a moving robot)"
+        ) from None
 
 
 def init_shielded_fleet(
     groups: List[ShieldedGroup], x0s: List[jnp.ndarray]
 ) -> ShieldedFleetState:
+    for g in groups:  # fail at construction, not mid-trace
+        if g.model_name not in BRAKE_REGISTRY:
+            _brake_policy(g.model_name, None, 0.0)
+        if g.model_name not in PLANAR_VELOCITY_REGISTRY:
+            _planar_velocity(g.model_name, None)
     xs, gidx, gks, bsteps, commits = [], [], [], [], []
     for g, x0 in zip(groups, x0s):
         xs.append(jnp.asarray(x0))
@@ -237,6 +305,29 @@ def init_shielded_fleet(
     )
 
 
+def _committed_pos_table(g, model, dt, Ltab, st_x, gk_st):
+    """(count, Ltab, 2) future positions robot-by-robot: the robot's OWN
+    committed trajectory read from its current time index (what it will
+    actually do if it keeps following its commitment — including the parked
+    backup terminus), with a constant-velocity fallback for robots whose
+    gatekeeper has not initialized yet (first chunk).
+    """
+    L = g.gk.committed_len
+
+    def one(xrow, cx, tidx, init):
+        idx = jnp.clip(tidx + jnp.arange(Ltab), 0, L - 1)
+        pts = jax.vmap(model.barrier_pos)(cx[idx])  # (Ltab, 2)
+        vel = _planar_velocity(g.model_name, xrow)
+        p0 = model.barrier_pos(xrow)
+        steps = jnp.arange(Ltab, dtype=p0.dtype)[:, None] * dt
+        cv = p0[None, :] + vel[None, :] * steps
+        return jnp.where(init, pts, cv)
+
+    return jax.vmap(one)(
+        st_x, gk_st.committed_x, gk_st.time_idx, gk_st.initialized
+    )
+
+
 def step_fleet_shielded(
     groups: List[ShieldedGroup],
     specs,
@@ -246,24 +337,54 @@ def step_fleet_shielded(
     known_obs,  # (Kk, 7) padded static obstacles
     n_steps: int = 1,
     k_neighbors: int = 4,
+    prediction: str = "commitments",
 ) -> ShieldedFleetState:
     """Advance every group ``n_steps`` under per-robot gatekeeper shielding.
 
-    Neighbor snapshot (position + velocity + radius) is taken once per chunk;
-    inside the chunk each robot's collision check predicts neighbors forward
-    by (substep + rollout offset) * dt, so commitments stay time-synchronized
-    exactly like the reference's ``moving_obstacles(t)`` callable
-    (shielding/gatekeeper.py:380-527).
+    Neighbor prediction modes (what each robot's commitment validation
+    assumes the other robots will do):
+
+    - ``"commitments"`` (default): neighbors follow their own COMMITTED
+      trajectories — shared once per chunk as a (total, Ltab, 2) position
+      table.  This is the compositional gatekeeper argument: every
+      commitment was validated against the others' commitments, and a
+      brake-backup commitment ends PARKED, so a neighbor that stops is
+      predicted stopped.  Constant-velocity extrapolation fails exactly
+      there: it predicts a braking neighbor sails on through, and a stale
+      "it will have passed" commitment then walks into a parked robot
+      (observed in the 3-family anchor test before this mode existed).
+      Known caveat (documented, absorbed by ``safety_margin`` + short
+      chunks): commitments adopted MID-chunk are validated against the
+      chunk-start table, so there is a <= chunk-length inconsistency
+      window, as with any snapshot-based decentralized scheme.
+    - ``"constant_velocity"``: the reference's ``moving_obstacles(t)``
+      model (shielding/gatekeeper.py:380-527) — correct for scripted
+      obstacle cars, unsound for mutually-shielding robots; kept for
+      comparison studies.
     """
-    # ---- fleet-wide snapshot: (total, 5) rows [x, y, vx, vy, radius] ------
+    if prediction not in ("commitments", "constant_velocity"):
+        raise ValueError(f"unknown prediction mode {prediction!r}")
+    Lmax = max(g.gk.committed_len for g in groups)
+    Ltab = n_steps + Lmax  # covers substep + validation offsets in-chunk
+
+    # ---- fleet-wide snapshot ---------------------------------------------
+    # rows: [x, y, radius, flat future-position table (Ltab * 2)]
     rows = []
-    for g, st_x in zip(groups, state.x):
+    for g, st_x, gk_st in zip(groups, state.x, state.gk):
         model = get_model(g.model_name)
         pos = jax.vmap(model.barrier_pos)(st_x)
-        vel = jax.vmap(lambda xr: _planar_velocity(g.model_name, xr))(st_x)
+        if prediction == "commitments":
+            tab = _committed_pos_table(g, model, g.gk.dt, Ltab, st_x, gk_st)
+        else:
+            vel = jax.vmap(
+                lambda xr: _planar_velocity(g.model_name, xr)
+            )(st_x)
+            steps = jnp.arange(Ltab, dtype=pos.dtype)[None, :, None] * g.gk.dt
+            tab = pos[:, None, :] + vel[:, None, :] * steps
         rows.append(
             jnp.concatenate(
-                [pos, vel, jnp.full((g.count, 1), g.robot_radius)], axis=1
+                [pos, jnp.full((g.count, 1), g.robot_radius),
+                 tab.reshape(g.count, Ltab * 2)], axis=1,
             )
         )
     allrows = jnp.concatenate(rows, axis=0)
@@ -287,9 +408,12 @@ def step_fleet_shielded(
         d = d.at[jnp.arange(g.count), self_idx].set(jnp.inf)
         k = min(k_neighbors, total - 1)
         _, nbr_idx = jax.lax.top_k(-d, k)
-        nbrs = allrows[nbr_idx]  # (count, k, 5)
+        nbrs = allrows[nbr_idx]  # (count, k, 3 + Ltab*2)
 
         def one(x, gk_st, goal_idx, bk, cm, nbr, wps_r):
+            nbr_r = nbr[:, 2]
+            nbr_tab = nbr[:, 3:].reshape(k, Ltab, 2)
+
             def body(carry, s):
                 x, gk_st, goal_idx, bk, cm = carry
                 wp = wps_r[jnp.clip(goal_idx, 0, W - 1)]
@@ -304,11 +428,11 @@ def step_fleet_shielded(
                     static_hit = tracking.collision_any(
                         spec.replace(radius=g.robot_radius), p, known_obs
                     )
-                    t_abs = (s + t_idx).astype(p.dtype) * dt
-                    np_t = nbr[:, :2] + nbr[:, 2:4] * t_abs
+                    j = jnp.clip(s + t_idx, 0, Ltab - 1)
+                    np_t = nbr_tab[:, j, :]
                     dist = jnp.linalg.norm(np_t - p, axis=1)
                     robot_hit = jnp.any(
-                        dist < nbr[:, 4] + g.robot_radius + g.safety_margin
+                        dist < nbr_r + g.robot_radius + g.safety_margin
                     )
                     return static_hit | robot_hit
 
@@ -356,6 +480,7 @@ def step_fleet_shielded_sharded(
     mesh,
     n_steps: int = 1,
     k_neighbors: int = 4,
+    prediction: str = "commitments",
 ) -> ShieldedFleetState:
     """Multi-chip ``step_fleet_shielded``: robots sharded over the scenario
     mesh, with the fleet-wide neighbor snapshot assembled by an
@@ -363,10 +488,11 @@ def step_fleet_shielded_sharded(
 
     This is BASELINE anchor config 5 at pod scale: every group's robot axis
     is block-sharded (counts must divide the mesh size); each device
-    computes its local robots' [x, y, vx, vy, radius] rows, one tiled
-    all_gather per group rebuilds the (total, 5) snapshot everywhere, and
-    the per-robot gatekeeper commitment step then proceeds exactly as in
-    the single-device path — the collective is the ONLY cross-device
+    computes its local robots' snapshot rows ([x, y, radius] + the shared
+    committed-position table, see ``step_fleet_shielded``), one tiled
+    all_gather per group rebuilds the (total, rows) snapshot everywhere,
+    and the per-robot gatekeeper commitment step then proceeds exactly as
+    in the single-device path — the collective is the ONLY cross-device
     communication per chunk.
     """
     from jax.experimental.shard_map import shard_map
@@ -374,6 +500,8 @@ def step_fleet_shielded_sharded(
 
     from safe_control_tpu.parallel.mesh import SCENARIO_AXIS
 
+    if prediction not in ("commitments", "constant_velocity"):
+        raise ValueError(f"unknown prediction mode {prediction!r}")
     n_dev = mesh.devices.size
     for g in groups:
         if g.count % n_dev:
@@ -381,18 +509,31 @@ def step_fleet_shielded_sharded(
                 f"group count {g.count} must divide the mesh size {n_dev}"
             )
     offs = np.cumsum([0] + [g.count for g in groups])
+    Lmax = max(g.gk.committed_len for g in groups)
+    Ltab = n_steps + Lmax
 
     def body(state, wps_tuple, known):
         new_x, new_gidx, new_gk, new_bk, new_cm = [], [], [], [], []
         rows_local = []
-        for g, st_x in zip(groups, state.x):
+        for g, st_x, gk_st in zip(groups, state.x, state.gk):
             model = get_model(g.model_name)
             pos = jax.vmap(model.barrier_pos)(st_x)
-            vel = jax.vmap(lambda xr: _planar_velocity(g.model_name, xr))(st_x)
+            if prediction == "commitments":
+                tab = _committed_pos_table(
+                    g, model, g.gk.dt, Ltab, st_x, gk_st
+                )
+            else:
+                vel = jax.vmap(
+                    lambda xr: _planar_velocity(g.model_name, xr)
+                )(st_x)
+                steps = jnp.arange(
+                    Ltab, dtype=pos.dtype
+                )[None, :, None] * g.gk.dt
+                tab = pos[:, None, :] + vel[:, None, :] * steps
             rows_local.append(
                 jnp.concatenate(
-                    [pos, vel,
-                     jnp.full((st_x.shape[0], 1), g.robot_radius)], axis=1
+                    [pos, jnp.full((st_x.shape[0], 1), g.robot_radius),
+                     tab.reshape(st_x.shape[0], Ltab * 2)], axis=1,
                 )
             )
         allrows = jnp.concatenate(
@@ -421,6 +562,9 @@ def step_fleet_shielded_sharded(
             nbrs = allrows[nbr_idx]
 
             def one(x, gk_st, goal_idx, bk, cm, nbr, wps_r):
+                nbr_r = nbr[:, 2]
+                nbr_tab = nbr[:, 3:].reshape(k, Ltab, 2)
+
                 def step_body(carry, s):
                     x, gk_st, goal_idx, bk, cm = carry
                     wp = wps_r[jnp.clip(goal_idx, 0, W - 1)]
@@ -435,11 +579,11 @@ def step_fleet_shielded_sharded(
                         static_hit = tracking.collision_any(
                             spec.replace(radius=g.robot_radius), p, known
                         )
-                        t_abs = (s + t_idx).astype(p.dtype) * dt
-                        np_t = nbr[:, :2] + nbr[:, 2:4] * t_abs
+                        j = jnp.clip(s + t_idx, 0, Ltab - 1)
+                        np_t = nbr_tab[:, j, :]
                         dist = jnp.linalg.norm(np_t - p, axis=1)
                         robot_hit = jnp.any(
-                            dist < nbr[:, 4] + g.robot_radius + g.safety_margin
+                            dist < nbr_r + g.robot_radius + g.safety_margin
                         )
                         return static_hit | robot_hit
 

@@ -41,6 +41,20 @@ class GatekeeperConfig:
     event_offset_steps: int = 10
     discount_steps: int = 5  # backward-search granularity (:68 default 5*dt)
     mps_mode: bool = False  # MPS: single 1-step candidate, event every step
+    # Stale-commitment re-validation (fleet extension, NOT reference
+    # semantics).  The reference keeps the previous commitment whenever no
+    # new candidate validates (:649-652) — sound when obstacle predictions
+    # are exact (its env-scripted obstacle cars), but in a fleet of
+    # mutually-shielding robots a NEIGHBOR can change ITS commitment (e.g.
+    # brake to a stop), silently invalidating the assumptions this robot's
+    # active commitment was validated under; replaying it then drives into
+    # the parked neighbor (observed in the 3-family anchor scenario).  With
+    # ``revalidate=True``, events where no new candidate validates ALSO
+    # re-check the remaining committed suffix; if it now fails, the robot
+    # falls to an immediate brake-backup commitment — the least-unsafe
+    # action available (it minimizes kinetic energy along the only
+    # trajectory class guaranteed to terminate).
+    revalidate: bool = False
 
     @property
     def num_candidates(self) -> int:
@@ -209,17 +223,35 @@ def step(
     new_cv = idx_u < best_len + N_B
 
     commit = event & found
-    committed_x = jnp.where(commit, new_cx, state.committed_x)
-    committed_u = jnp.where(commit, new_cu, state.committed_u)
-    committed_valid = jnp.where(commit, new_cv, state.committed_valid)
-    time_idx = jnp.where(commit, 0, state.time_idx)
+
+    # ---- stale-commitment re-validation (see GatekeeperConfig.revalidate)
+    if cfg.revalidate:
+        rem_idx = jnp.clip(state.time_idx + jnp.arange(L), 0, L - 1)
+        rem_coll = jax.vmap(
+            lambda j: collision_fn(state.committed_x[rem_idx[j]], j)
+        )(jnp.arange(L))
+        stale = event & ~found & jnp.any(rem_coll)
+    else:
+        stale = jnp.asarray(False)
+
+    committed_x = jnp.where(
+        commit, new_cx, jnp.where(stale, init_cx, state.committed_x)
+    )
+    committed_u = jnp.where(
+        commit, new_cu, jnp.where(stale, init_cu, state.committed_u)
+    )
+    committed_valid = jnp.where(
+        commit, new_cv, jnp.where(stale, init_cv, state.committed_valid)
+    )
+    time_idx = jnp.where(commit | stale, 0, state.time_idx)
     next_event_idx = jnp.where(
-        commit,
+        commit | stale,
         cfg.event_offset_steps,
         jnp.where(event, state.time_idx + cfg.event_offset_steps, state.next_event_idx),
     ).astype(jnp.int32)
     nominal_steps_committed = jnp.where(
-        commit, best_len, state.nominal_steps_committed
+        commit, best_len,
+        jnp.where(stale, 0, state.nominal_steps_committed),
     ).astype(jnp.int32)
 
     # ---- emit control (:654-665) ---------------------------------------

@@ -271,10 +271,21 @@ class LocalTrackingController:
         per-step real-time budget is 50 ms.  Obstacles and waypoints rarely
         change between steps, so caching them device-side cuts the per-step
         transfer count from ~5 to ~1.
+
+        Invalidation is BY CONTENT, not by object identity: ``obs`` is
+        user-assignable like the reference's (tracking.py:114), and the
+        reference's dynamic env mutates it IN PLACE every step
+        (dynamic_env/main.py:54-58 ``obs[:,0:2] += obs[:,3:5]*dt``) —
+        ``id()`` would serve stale obstacle positions both for in-place
+        updates (id unchanged) and for reassignment (CPython readily reuses
+        a freed same-shape array's address).  The arrays are tiny (<=32x7),
+        so hashing their bytes each step costs microseconds against the
+        26+ ms step.
         """
         jnp = self._jnp
-        key = (id(self.obs), self.obs.shape, id(self.unknown_obs),
-               self.unknown_obs.shape, id(self.waypoints))
+        key = (self.obs.tobytes(), self.obs.shape,
+               self.unknown_obs.tobytes(), self.unknown_obs.shape,
+               self.waypoints.tobytes(), self.waypoints.shape)
         if getattr(self, "_dev_key", None) != key:
             known = pad_obstacles(jnp.asarray(self.obs), MAX_KNOWN_OBS)
             unknown = pad_obstacles(

@@ -73,10 +73,13 @@ class MPCConfig(NamedTuple):
     optimal_decay: bool = False
     p_sb: float = 10.0
     omega_ref: float = 1.0
-    # Iteration budget: empirically (8 outer x 3 newton) = 24 Newton steps
-    # beats (12 x 4) = 48 on both accuracy (worst parity dev 8.3e-4 vs
-    # 7.1e-4 over 5 anchor cases, both < 1e-3) and speed (~2x) — more outer
-    # iterations push rho higher, which stresses f32 without helping.
+    # Iteration budget: (8 outer x 3 newton) = 24 Newton steps runs ~2x
+    # faster than (12 x 4) = 48 at equal closed-loop quality; more outer
+    # iterations push rho higher, which stresses f32 without helping.  The
+    # <1e-3 parity certification holds in the f64 accuracy mode with polish
+    # (tests/test_parity_anchors.py); the f32 throughput mode at this budget
+    # is envelope-bounded instead (median <5e-4, max <5e-2 in cost-flat
+    # directions — see the precision accounting in that test's docstring).
     outer_iters: int = 8  # augmented-Lagrangian multiplier updates
     newton_iters: int = 3  # Gauss-Newton steps per outer iteration
     rho0: float = 50.0  # initial AL penalty
@@ -102,6 +105,13 @@ class MPCConfig(NamedTuple):
     # stays 0 and the f64 accuracy/parity mode turns it on.
     polish_iters: int = 0
     polish_ctol: float = 1e-2  # scaled-units activity threshold
+    # Route ``solve_batch`` through the fused Pallas mega-kernel
+    # (solvers/mpc_du_kernel.py, 5.5x the XLA lowering on TPU) when the
+    # configuration matches its specialization — see
+    # ``fused_kernel_available``.  Opt-in: the kernel's Mosaic compile takes
+    # ~15 min the FIRST time on a machine (then seconds via the persistent
+    # compilation cache configured in safe_control_tpu/__init__.py).
+    use_fused_kernel: bool = False
 
 
 class MPCState(NamedTuple):
@@ -154,6 +164,92 @@ def _model_name_of(model) -> str:
         if mod is model:
             return name
     raise ValueError("unregistered model module")
+
+
+def fused_kernel_available(model_name: str, cfg: MPCConfig) -> bool:
+    """True iff ``solve_batch`` can dispatch to the fused Pallas kernel.
+
+    The kernel (solvers/mpc_du_kernel.py) is specialized to the BASELINE
+    north-star configuration: DynamicUnicycle2D, horizon N=8, K=5 obstacle
+    slots, the default AL/GN iteration budget, no optimal-decay, no polish.
+    """
+    from safe_control_tpu.solvers import mpc_du_kernel as duk
+
+    return (
+        model_name == spec_mod.DYNAMIC_UNICYCLE_2D
+        and cfg.horizon == duk.N
+        and cfg.num_obs == duk.K
+        and not cfg.optimal_decay
+        and cfg.outer_iters == duk.OUTER
+        and cfg.newton_iters == duk.NEWTON
+        and cfg.polish_iters == 0
+        and float(cfg.rho0) == duk.RHO0
+        and float(cfg.rho_growth) == duk.RHO_GROWTH
+        and float(cfg.rho_max) == duk.RHO_MAX
+        and float(cfg.reg) == duk.REG
+    )
+
+
+def solve_batch(
+    model_name: str,
+    spec,
+    xs,
+    goals,
+    obs,
+    u_prevs,
+    mpc_state: MPCState,
+    dt: float,
+    cfg: MPCConfig = MPCConfig(),
+) -> MPCResult:
+    """Batched MPC-CBF solve: (B, ...) leading axis on every array input.
+
+    The public batch entry point.  With ``cfg.use_fused_kernel`` and a
+    configuration matching ``fused_kernel_available`` (and f32 inputs), the
+    whole AL-Gauss-Newton solve runs inside one Pallas mega-kernel with all
+    iteration state VMEM-resident (measured 244k solves/s vs 44k for the
+    XLA lowering on a v5e chip); otherwise it is the ``vmap`` of ``solve``.
+    Both paths return identical result structure (the kernel path reports
+    zero multipliers in ``state.lam`` — semantically equivalent, because
+    ``solve`` cold-starts the multipliers on entry anyway).
+    """
+    if (
+        cfg.use_fused_kernel
+        and fused_kernel_available(model_name, cfg)
+        and xs.dtype == jnp.float32
+    ):
+        from safe_control_tpu.solvers import mpc_du_kernel as duk
+
+        model = get_model(model_name)
+        params = (
+            float(dt), float(spec.mpc_cbf_alpha1), float(spec.mpc_cbf_alpha2),
+            float(spec.cbf_beta), float(spec.radius), float(spec.v_max),
+            float(spec.a_max), float(spec.w_max),
+        )
+        res = duk.solve_du_batch(xs, goals, obs, u_prevs, mpc_state.U, params)
+
+        def roll(x0, U):
+            def stp(x, u):
+                x1 = model.step(x, u, spec, dt)
+                return x1, x1
+
+            _, xs_r = jax.lax.scan(stp, x0, U)
+            return jnp.concatenate([x0[None, :], xs_r], axis=0)
+
+        xs_pred = jax.vmap(roll)(xs, res.U)
+        return MPCResult(
+            u=res.u,
+            state=MPCState(U=res.U, lam=jnp.zeros_like(mpc_state.lam)),
+            xs=xs_pred,
+            feasible=res.viol <= cfg.viol_tol,
+            viol=res.viol,
+        )
+
+    def one(x, goal, ob, up, U, lam):
+        return solve(
+            model_name, spec, x, goal, ob, up, MPCState(U=U, lam=lam), dt, cfg
+        )
+
+    return jax.vmap(one)(xs, goals, obs, u_prevs, mpc_state.U, mpc_state.lam)
 
 
 def solve(

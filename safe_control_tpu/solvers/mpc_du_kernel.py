@@ -343,8 +343,6 @@ def _mpc_du_kernel(
              jnp.zeros((2,) + adds.shape[1:], dtype)], axis=0
         )
         grad = grad - shifted
-        eye3 = (jax.lax.broadcasted_iota(jnp.int32, (M, M, 1), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (M, M, 1), 1)).astype(dtype)
         ih = [[_input_hess(i, j) for j in range(M)] for i in range(M)]
         # constant input-move Hessian: add via scalar H entries at chol time
         tr = H3[0, 0] + ih[0][0]

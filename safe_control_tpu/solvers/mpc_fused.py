@@ -1,0 +1,494 @@
+"""Generic fused Pallas MPC-CBF kernel, templated over (model, N, K, budget).
+
+Why: PERF.md's roofline showed the XLA lowering of ``mpc_cbf.solve`` is
+occupancy-bound — thousands of small fused HLOs whose intermediates
+round-trip through HBM, each paying kernel-launch latency.  For batch
+throughput the hand-written lane-tiled DU kernel (mpc_du_kernel.py) fixes
+this at 5.5x; but it is specialized to DynamicUnicycle2D/N=8 by hand-derived
+Jacobians.  This module is the *template* the round-3 verdict asked for:
+the ENTIRE augmented-Lagrangian Gauss-Newton solver — unrolled rollout,
+forward-mode Jacobians, MXU-backed Gauss-Newton Hessian, masked unrolled
+Cholesky, the noise-aware line search — fused into ONE ``pallas_call`` per
+problem, for ANY registered model and horizon.
+
+The trick that makes it generic: JAX transformations are trace-time, so
+``jax.linearize`` + ``jax.vmap`` over the basis work INSIDE a Pallas kernel
+body (verified on Mosaic) — the kernel literally reuses the package's
+``model.step`` and ``barriers.hocbf.dt_h`` instead of hand-derived
+Jacobians.  One problem per grid step, matrices in natural 2-D layout:
+J^T J runs on the MXU, everything else on the VPU, all iteration state
+VMEM-resident.
+
+Primary target: single-robot control LATENCY on large-horizon models —
+the BASELINE real-time row where VTOL2D N=30 (120 decision variables) was
+the one red entry (117.9 ms vs the 50 ms budget through the XLA path; the
+measured tunnel round-trip floor alone is ~25 ms, so on-device solve time
+must drop ~4x, which kernel fusion provides).  The grid iterates problems
+sequentially on one TensorCore, so for large-batch throughput of SMALL
+problems the lane-tiled DU kernel or the XLA path remain the right
+backends; ``mpc_cbf.solve_batch`` dispatches accordingly.
+
+Algorithm provenance: line-for-line ``mpc_cbf.solve`` (same AL/GN/line-
+search logic; reference behavior /root/reference/position_control/
+mpc_cbf.py:134-364).  Agreement with the XLA path is f32 op-ordering noise,
+test-bound in tests/test_mpc_fused.py.
+
+Mosaic constraints honored (see pallas_guide.md and round-3 notes):
+no captured constant arrays (constant vectors are built from 2-D iota
+one-hots), no 1-D iota, no gathers with traced indices (branch-free
+selects), ``preferred_element_type`` on every MXU dot.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from safe_control_tpu.barriers.hocbf import dt_h as hocbf_dt_h
+from safe_control_tpu.dynamics import get_model
+from safe_control_tpu.solvers import mpc_cbf as mpc_mod
+
+
+class FusedResult(NamedTuple):
+    u: jnp.ndarray  # (B, m) first controls
+    U: jnp.ndarray  # (B, N, m)
+    xs: jnp.ndarray  # (B, N+1, n) predicted states
+    viol: jnp.ndarray  # (B,)
+
+
+def fused_available(model_name: str, cfg: mpc_mod.MPCConfig) -> bool:
+    """The generic kernel supports everything but the optimal-decay and
+    polish variants (their extra decision/KKT structure is XLA-path only)."""
+    try:
+        get_model(model_name)
+    except Exception:
+        return False
+    return not cfg.optimal_decay and cfg.polish_iters == 0
+
+
+def _irange(M: int):
+    """(M,) int32 index vector (TPU rejects 1-D iota; go through 2-D)."""
+    return jax.lax.broadcasted_iota(jnp.int32, (1, M), 1).reshape(M)
+
+
+def _const_vec(vals, dtype):
+    """Materialize a small constant vector without capturing a constant
+    array (Mosaic rejects those): one-hot composition over a 2-D iota."""
+    M = len(vals)
+    idx = _irange(M)
+    out = jnp.zeros((M,), dtype)
+    for i, v in enumerate(vals):
+        out = jnp.where(idx == i, jnp.asarray(float(v), dtype), out)
+    return out
+
+
+def _tiled_const_vec(vals, reps, dtype):
+    """tile(vals, reps) via modulo one-hots (for flat box bounds)."""
+    m = len(vals)
+    idx = _irange(m * reps) % m
+    out = jnp.zeros((m * reps,), dtype)
+    for i, v in enumerate(vals):
+        out = jnp.where(idx == i, jnp.asarray(float(v), dtype), out)
+    return out
+
+
+def _spec_statics(spec):
+    """Concrete-float copy of a RobotSpec (kernel closes over scalars)."""
+    return jax.tree_util.tree_map(float, spec)
+
+
+def mosaic_atan2(y, x):
+    """Branch-free polynomial atan2 (Mosaic has no atan2 lowering).
+
+    Octant reduction to q = min/max in [0, 1] + an odd minimax polynomial
+    (max error ~1e-6 rad, far below the solver's f32 noise floor), then
+    quadrant fixup with selects.  Used only inside fused kernels — the XLA
+    path keeps libm atan2; parity tests bound the difference.
+    """
+    pi = float(np.pi)
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    mx = jnp.maximum(jnp.maximum(ax, ay), 1e-30)
+    q = jnp.minimum(ax, ay) / mx
+    q2 = q * q
+    # atan(q) on [0, 1], minimax odd polynomial (Horner)
+    r = q * (0.99997726 + q2 * (-0.33262347 + q2 * (0.19354346 + q2 * (
+        -0.11643287 + q2 * (0.05265332 + q2 * -0.01172120)))))
+    r = jnp.where(ay > ax, 0.5 * pi - r, r)
+    r = jnp.where(x < 0.0, pi - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _mosaic_atan(x):
+    return mosaic_atan2(x, jnp.ones_like(x) if hasattr(x, "shape") else 1.0)
+
+
+class _patched_trig:
+    """Swap jnp.arctan2/arctan for Mosaic-lowerable polynomials while the
+    algorithm is traced to a jaxpr (the SAME jaxpr runs in interpreter
+    tests and on TPU, so numerics are identical across backends)."""
+
+    def __enter__(self):
+        self._orig2, self._orig1 = jnp.arctan2, jnp.arctan
+        jnp.arctan2, jnp.arctan = mosaic_atan2, _mosaic_atan
+        return self
+
+    def __exit__(self, *exc):
+        jnp.arctan2, jnp.arctan = self._orig2, self._orig1
+        return False
+
+
+def _make_algorithm(model_name, spec_f, dt, cfg, dtype):
+    """Build the pure per-problem solver function (plain arrays in/out).
+
+    Constants that model code materializes mid-trace (e.g. a constant
+    ``g``-matrix like DynamicUnicycle2D's) would be rejected by Pallas as
+    captured kernel constants; the caller closure-converts this function so
+    they become explicit kernel inputs instead.
+    """
+    model = get_model(model_name)
+    n, m = model.N_STATES, model.N_CONTROLS
+    N, K = cfg.horizon, cfg.num_obs
+    M = N * m
+
+    Qd, Rd = mpc_mod.mpc_weights(model_name)
+    Qs = tuple(float(v) for v in np.sqrt(np.asarray(Qd)))
+    Rs = tuple(float(v) for v in np.sqrt(np.asarray(Rd)))
+    lbu = tuple(float(v) for v in np.asarray(model.u_lb(spec_f)))
+    ubu = tuple(float(v) for v in np.asarray(model.u_ub(spec_f)))
+    lb_x, ub_x = (np.asarray(b, np.float64) for b in model.state_bounds(spec_f))
+    bounded_idx = tuple(
+        int(i)
+        for i in np.nonzero(np.isfinite(lb_x) | np.isfinite(ub_x))[0]
+    )
+    # Clamp infinite single-sided bounds to a large finite sentinel: the XLA
+    # path carries inf rows (always satisfied); in the kernel a finite huge
+    # bound keeps c finite for the merit arithmetic with the same active set.
+    BIG = 1e6
+    lb_xv = tuple(float(max(v, -BIG)) for v in lb_x)
+    ub_xv = tuple(float(min(v, BIG)) for v in ub_x)
+
+    alphas = (1.0, 0.5, 0.25, 0.1, 0.03, 0.0)
+    noise_eps = 4.0 * float(jnp.finfo(dtype).eps)
+
+    def algorithm(x0, goal, obs_flat, u_prev, U0_flat):
+        obs = obs_flat.reshape(K, 7)
+        U0 = U0_flat.reshape(N, m)
+
+        qs_vec = _const_vec(Qs, dtype)
+        rs_vec = _const_vec(Rs, dtype)
+        lb_flat = _tiled_const_vec(lbu, N, dtype)
+        ub_flat = _tiled_const_vec(ubu, N, dtype)
+
+        def rollout(U):
+            xs = [x0]
+            for k in range(N):
+                xs.append(model.step(xs[-1], U[k], spec_f, dt))
+            return jnp.stack(xs)  # (N+1, n)
+
+        def residual(U):
+            xs = rollout(U)[1:]
+            state_res = (xs - goal[None, :]) * qs_vec[None, :]
+            du = U - jnp.concatenate([u_prev[None, :], U[:-1]], axis=0)
+            input_res = du * rs_vec[None, :]
+            return jnp.concatenate([state_res.ravel(), input_res.ravel()])
+
+        def _h_all(states):
+            return jax.vmap(
+                lambda xk: jax.vmap(
+                    lambda o: hocbf_dt_h(model, model_name, xk, o, spec_f)
+                )(obs)
+            )(states)
+
+        def constraints(U):
+            # same work-sharing structure as mpc_cbf.solve.constraints
+            xs_full = rollout(U)
+            H = _h_all(xs_full)  # (N+1, K)
+            h_k, h_k1 = H[:N], H[1:]
+            if model.REL_DEG == 1:
+                cbf = (h_k1 - h_k) + spec_f.mpc_cbf_alpha * h_k
+            else:
+                x2 = jax.vmap(
+                    lambda xk1, uk: model.step(xk1, uk, spec_f, dt)
+                )(xs_full[1:], U)
+                H2 = _h_all(x2)
+                d_h = h_k1 - h_k
+                dd_h = H2 - 2.0 * h_k1 + h_k
+                a1, a2 = spec_f.mpc_cbf_alpha1, spec_f.mpc_cbf_alpha2
+                cbf = dd_h + (a1 + a2) * d_h + a1 * a2 * h_k
+            cons = [cbf.ravel()]
+            xs = xs_full[1:]
+            for i in bounded_idx:
+                cons.append(ub_xv[i] - xs[:, i])
+                cons.append(xs[:, i] - lb_xv[i])
+            return jnp.concatenate(cons)
+
+        Uf0 = jnp.clip(U0.ravel(), lb_flat, ub_flat)
+        basis = jnp.eye(M, dtype=dtype)
+
+        # constraint row scaling at the warm start (mpc_cbf.solve)
+        _, jvp0 = jax.linearize(
+            lambda Ufl: constraints(Ufl.reshape(N, m)), Uf0
+        )
+        Jc0 = jax.vmap(jvp0)(basis)  # (M, NC)
+        c_scale = 1.0 / jnp.maximum(
+            jnp.sqrt(jnp.sum(Jc0 * Jc0, axis=0)), 1e-2
+        )
+
+        n_con = c_scale.shape[0]
+
+        def al_terms(U_flat, lam, rho):
+            U = U_flat.reshape(N, m)
+            r = residual(U)
+            c = constraints(U) * c_scale
+            act = jnp.maximum(0.0, lam - rho * c)
+            return r, act
+
+        def chol_masked(H):
+            """Cholesky of (M, M) via unrolled masked column updates (no
+            dynamic indexing; ~5 vector ops per column)."""
+            idx = _irange(M)
+            L = jnp.zeros_like(H)
+            for j in range(M):
+                v = H[:, j] - jnp.dot(
+                    L, L[j, :], preferred_element_type=dtype
+                )
+                ljj = jnp.sqrt(jnp.maximum(v[j], 1e-20))
+                colj = jnp.where(idx >= j, v / ljj, 0.0)
+                L = L + colj[:, None] * (idx == j)[None, :].astype(dtype)
+            return L
+
+        def chol_solve(L, b):
+            """L L^T x = b by column-oriented substitution (axpy form)."""
+            idx = _irange(M)
+            y = b
+            for j in range(M):
+                yj = y[j] / L[j, j]
+                y = jnp.where(idx > j, y - yj * L[:, j], y)
+                y = jnp.where(idx == j, yj, y)
+            x = y
+            for j in reversed(range(M)):
+                xj = x[j] / L[j, j]
+                # L^T's column j is L's ROW j
+                x = jnp.where(idx < j, x - xj * L[j, :], x)
+                x = jnp.where(idx == j, xj, x)
+            return x
+
+        def newton_step(Uf, lam, rho):
+            def rc(Ufl):
+                U = Ufl.reshape(N, m)
+                return residual(U), constraints(U) * c_scale
+
+            (r0, c0), jvpf = jax.linearize(rc, Uf)
+            Jr, Jc = jax.vmap(jvpf)(basis)  # (M, NR), (M, NC)
+            act0 = jnp.maximum(0.0, lam - rho * c0)
+            grad = 2.0 * jnp.dot(Jr, r0, preferred_element_type=dtype) - \
+                jnp.dot(Jc, act0, preferred_element_type=dtype)
+            active = (act0 > 0.0).astype(dtype)
+            Jca = Jc * active[None, :]
+            H = 2.0 * jnp.dot(Jr, Jr.T, preferred_element_type=dtype) + \
+                rho * jnp.dot(Jca, Jca.T, preferred_element_type=dtype)
+            idx = _irange(M)
+            eye = (idx[:, None] == idx[None, :]).astype(dtype)
+            tr = jnp.sum(H * eye)
+            H = H + cfg.reg * eye * (1.0 + tr / M)
+
+            eps_b = 1e-7
+            at_lb = (Uf <= lb_flat + eps_b) & (grad > 0.0)
+            at_ub = (Uf >= ub_flat - eps_b) & (grad < 0.0)
+            free = jnp.logical_not(at_lb | at_ub).astype(dtype)
+            # diag(1 - free) written as an eye-masked broadcast to stay 2-D
+            Hf = free[:, None] * H * free[None, :] + eye * (1.0 - free)[None, :]
+            gf = free * grad
+            L = chol_masked(Hf)
+            step = -chol_solve(L, gf)
+
+            # merit deltas, cancellation-free (mpc_cbf.newton_step)
+            base_cost = r0 @ r0 + (act0 @ act0) / (2.0 * rho)
+            deltas = []
+            for a in alphas:
+                cand = jnp.clip(Uf + a * step, lb_flat, ub_flat)
+                r_a, act_a = al_terms(cand, lam, rho)
+                d_cost = (r_a - r0) @ (r_a + r0)
+                d_pen = ((act_a - act0) @ (act_a + act0)) / (2.0 * rho)
+                deltas.append(d_cost + d_pen)
+            dvec = jnp.stack(deltas)  # (6,)
+            dvec = jnp.where(jnp.isfinite(dvec), dvec, jnp.inf)
+            best = jnp.argmin(dvec)
+            noise_floor = noise_eps * base_cost
+            pred = gf @ step + 0.5 * (step @ jnp.dot(
+                Hf, step, preferred_element_type=dtype
+            ))
+            best = jnp.where(pred >= -noise_floor, 0, best)
+            alpha = jnp.zeros((), dtype)
+            for i, a in enumerate(alphas):
+                alpha = jnp.where(best == i, jnp.asarray(a, dtype), alpha)
+            return jnp.clip(Uf + alpha * step, lb_flat, ub_flat)
+
+        def outer_body(_, carry):
+            Uf, lam, rho = carry
+            Uf = jax.lax.fori_loop(
+                0, cfg.newton_iters, lambda _, u: newton_step(u, lam, rho), Uf
+            )
+            c = constraints(Uf.reshape(N, m)) * c_scale
+            lam = jnp.maximum(0.0, lam - rho * c)
+            rho = jnp.minimum(rho * cfg.rho_growth, cfg.rho_max)
+            return (Uf, lam, rho)
+
+        Uf, lam, _ = jax.lax.fori_loop(
+            0, cfg.outer_iters, outer_body,
+            (Uf0, jnp.zeros((n_con,), dtype), jnp.asarray(cfg.rho0, dtype)),
+        )
+
+        U = Uf.reshape(N, m)
+        c = constraints(U) * c_scale
+        viol = jnp.maximum(0.0, -jnp.min(c))
+        return Uf, rollout(U).ravel(), viol
+
+    return algorithm, (n, m, N, K, M)
+
+
+@functools.lru_cache(maxsize=32)
+def _get_solver(model_name, spec_leaves, dt, cfg, dtype_name, interpret):
+    """Compile-cached batched solver for one static configuration."""
+    dtype = jnp.dtype(dtype_name)
+    # rebuild the concrete spec from its hashable leaves
+    from safe_control_tpu.core import spec as spec_mod
+
+    spec_f = spec_mod.make_spec(model_name)
+    spec_f = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(spec_f), list(spec_leaves)
+    )
+    algorithm, (n, m, N, K, M) = _make_algorithm(
+        model_name, spec_f, dt, cfg, dtype
+    )
+
+    # Hoist mid-trace constant ARRAYS (models materialize constant f/g
+    # blocks, e.g. DynamicUnicycle2D's (4,2) input matrix) into explicit
+    # kernel operands: Pallas rejects captured kernel constants.  These are
+    # jaxpr literals, which jax.closure_convert does NOT extract — so trace
+    # the algorithm to a jaxpr and turn its constvars into inputs directly.
+    example = (
+        jax.ShapeDtypeStruct((n,), dtype),
+        jax.ShapeDtypeStruct((n,), dtype),
+        jax.ShapeDtypeStruct((K * 7,), dtype),
+        jax.ShapeDtypeStruct((m,), dtype),
+        jax.ShapeDtypeStruct((M,), dtype),
+    )
+    with _patched_trig():
+        closed = jax.make_jaxpr(algorithm)(*example)
+    consts = [np.asarray(c) for c in closed.consts]
+    # dedupe identical constants (the same f/g block repeats per stage)
+    uniq: dict = {}
+    const_map = []  # index into uniq for each jaxpr const
+    for c in consts:
+        key = (c.dtype.str, c.shape, c.tobytes())
+        if key not in uniq:
+            uniq[key] = (len(uniq), c)
+        const_map.append(uniq[key][0])
+    uniq_consts = [c for _, c in uniq.values()]
+    const_shapes = [c.shape for c in uniq_consts]
+    const_flat = [
+        jnp.asarray(c).reshape(1, max(int(np.size(c)), 1))
+        for c in uniq_consts
+    ]
+
+    def kernel(*refs):
+        x0_ref, goal_ref, obs_ref, uprev_ref, u0_ref = refs[:5]
+        const_refs = refs[5:5 + len(uniq_consts)]
+        u_out, xs_out, viol_out = refs[5 + len(uniq_consts):]
+        cu = [
+            ref[...].reshape(shape) if shape else ref[0, 0]
+            for ref, shape in zip(const_refs, const_shapes)
+        ]
+        cvals = [cu[i] for i in const_map]
+        Uf, xs_flat, viol = jax.core.eval_jaxpr(
+            closed.jaxpr, cvals,
+            x0_ref[0], goal_ref[0], obs_ref[0], uprev_ref[0], u0_ref[0],
+        )
+        u_out[0] = Uf
+        xs_out[0] = xs_flat
+        viol_out[0, 0] = viol
+
+    def solve_batch(xs, goals, obs, u_prevs, U_warm):
+        B = xs.shape[0]
+        # shift-by-one warm start, exactly like mpc_cbf.solve
+        U0 = jnp.concatenate([U_warm[:, 1:], U_warm[:, -1:]], axis=1)
+        grid = (B,)
+        row = lambda d: pl.BlockSpec(
+            (1, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        bcast = lambda d: pl.BlockSpec(
+            (1, d), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        U_t, xs_t, viol_t = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[row(n), row(n), row(K * 7), row(m), row(M)]
+            + [bcast(c.shape[1]) for c in const_flat],
+            out_specs=(row(M), row((N + 1) * n), row(1)),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, M), dtype),
+                jax.ShapeDtypeStruct((B, (N + 1) * n), dtype),
+                jax.ShapeDtypeStruct((B, 1), dtype),
+            ),
+            interpret=interpret,
+        )(
+            xs, goals, obs.reshape(B, K * 7), u_prevs,
+            U0.reshape(B, M), *const_flat,
+        )
+        U = U_t.reshape(B, N, m)
+        return FusedResult(
+            u=U[:, 0], U=U, xs=xs_t.reshape(B, N + 1, n), viol=viol_t[:, 0]
+        )
+
+    return jax.jit(solve_batch)
+
+
+def solve_fused_batch(
+    model_name, spec, xs, goals, obs, u_prevs, U_warm, dt,
+    cfg: mpc_mod.MPCConfig, interpret: bool | None = None,
+) -> FusedResult:
+    """Batched fused MPC-CBF solve (one grid step per problem).
+
+    ``spec`` must be concrete (floats / unjitted arrays) — the kernel
+    closes over its values as scalars.  Raises if called with tracers.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    spec_f = _spec_statics(spec)
+    leaves = tuple(jax.tree_util.tree_leaves(spec_f))
+    solver = _get_solver(
+        model_name, leaves, float(dt),
+        cfg._replace(use_fused_kernel=False), jnp.dtype(xs.dtype).name,
+        bool(interpret),
+    )
+    return solver(xs, goals, obs, u_prevs, U_warm)
+
+
+def solve_fused_single(
+    model_name, spec, x0, goal, obs, u_prev, mpc_state, dt,
+    cfg: mpc_mod.MPCConfig, interpret: bool | None = None,
+) -> mpc_mod.MPCResult:
+    """Single-problem fused solve with ``mpc_cbf.solve``'s result contract
+    (the latency path: one robot, one kernel launch, ~no HBM round trips).
+
+    ``state.lam`` is reported as zeros — semantically equivalent because
+    ``solve`` cold-starts the multipliers on entry (see its warm-start
+    comment)."""
+    res = solve_fused_batch(
+        model_name, spec, x0[None], goal[None], obs[None], u_prev[None],
+        mpc_state.U[None], dt, cfg, interpret=interpret,
+    )
+    return mpc_mod.MPCResult(
+        u=res.u[0],
+        state=mpc_mod.MPCState(U=res.U[0], lam=jnp.zeros_like(mpc_state.lam)),
+        xs=res.xs[0],
+        feasible=res.viol[0] <= cfg.viol_tol,
+        viol=res.viol[0],
+    )

@@ -17,6 +17,10 @@ import sys
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
+# No persistent compile cache in tests: XLA:CPU AOT entries are
+# machine-feature-pinned (safe_control_tpu/__init__.py skips CPU anyway;
+# this also covers the in-process platform switch below).
+os.environ.setdefault("SAFE_CONTROL_JAX_CACHE_DIR", "")
 
 import jax  # noqa: E402
 

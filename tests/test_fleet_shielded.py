@@ -8,7 +8,7 @@ prediction) the shields must measurably engage (backup steps > 0) while the
 fleet stays collision-free throughout.
 
 Scale note: the >=1k-agent version of exactly this scenario runs in
-bench_fleet.py on the TPU; the CPU-mesh test keeps the same structure at a
+bench.py (bench_fleet_shielded) on the TPU; the CPU-mesh test keeps the same structure at a
 size the 2-core host can verify in seconds.
 """
 
@@ -33,6 +33,7 @@ DT = 0.05
 GK = gk_mod.GatekeeperConfig(
     model_name=DYNAMIC_UNICYCLE_2D, dt=DT, nominal_steps=16, backup_steps=16,
     event_offset_steps=4, discount_steps=4,
+    revalidate=True,  # fleet: neighbors change commitments (see gk docs)
 )
 
 
@@ -141,6 +142,53 @@ def test_shielded_headon_pair_stops_safely():
     stats = fleet_mod.shielded_fleet_stats(groups, state)
     assert min_clear > 0.0, f"head-on pair collided: clearance {min_clear}"
     assert stats["backup_steps"] > 0, stats
+
+
+def test_unsupported_family_raises():
+    """Silent-unsoundness guard (round-3 ADVICE): families without a
+    registered deadbeat brake policy / planar-velocity extractor must be
+    REJECTED at fleet construction — a model.stop fallback never parks
+    inside the validated window and a zeros-velocity fallback validates
+    against static ghosts of moving robots."""
+    from safe_control_tpu.core.spec import QUAD_2D
+
+    groups = [
+        fleet_mod.ShieldedGroup(
+            model_name=QUAD_2D, count=2,
+            gk=dataclasses.replace(GK, model_name=QUAD_2D)),
+    ]
+    with pytest.raises(KeyError, match="brake policy"):
+        fleet_mod.init_shielded_fleet(
+            groups, [jnp.zeros((2, 6), jnp.float32)])
+    assert QUAD_2D not in fleet_mod.BRAKE_REGISTRY
+    assert QUAD_2D not in fleet_mod.PLANAR_VELOCITY_REGISTRY
+
+
+@pytest.mark.slow
+def test_three_family_anchor_structure_collision_free():
+    """The 4,096-agent BASELINE anchor structure (DU + KB + DI head-on
+    lanes, bench.build_shielded_fleet_3fam) at a size the 2-core host can
+    verify: collision-free with shields engaging across all THREE
+    families."""
+    from bench import build_shielded_fleet_3fam
+
+    groups, specs, x0s, wps, n_wps, known = build_shielded_fleet_3fam(rows=8)
+    assert len(groups) == 3
+    state = fleet_mod.init_shielded_fleet(groups, x0s)
+    step = jax.jit(
+        lambda s: fleet_mod.step_fleet_shielded(
+            groups, specs, s, wps, n_wps, known, n_steps=5, k_neighbors=4
+        )
+    )
+    min_clear = np.inf
+    for _ in range(24):  # 120 control steps = 6 s sim
+        state = step(state)
+        min_clear = min(min_clear,
+                        fleet_mod.min_pairwise_clearance(groups, state))
+    stats = fleet_mod.shielded_fleet_stats(groups, state)
+    assert min_clear > 0.0, f"collision in 3-family fleet: {min_clear}"
+    assert stats["backup_steps"] > 0, stats
+    assert stats["commits"] > 0, stats
 
 
 @pytest.mark.slow

@@ -1,0 +1,125 @@
+"""Generic fused Pallas MPC kernel (solvers/mpc_fused.py) vs the XLA path.
+
+The generic kernel reuses the package's ``model.step`` / ``hocbf.dt_h``
+with trace-time AD *inside* the Pallas kernel body, so parity with
+``mpc_cbf.solve`` is op-ordering noise only.  On the CPU mesh it runs
+under the Pallas interpreter; unlike the lane-tiled DU kernel, its
+per-problem 2-D layout compiles in seconds, so these run in the fast tier.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_control_tpu.core.spec import (
+    DYNAMIC_UNICYCLE_2D,
+    VTOL_2D,
+    make_spec,
+)
+from safe_control_tpu.core.types import pad_obstacles
+from safe_control_tpu.dynamics import get_model
+from safe_control_tpu.solvers import mpc_cbf, mpc_fused
+
+
+def _xla_batch(model_name, spec, cfg, dt, xs, goals, obs, u_prevs, Uw):
+    st0 = mpc_cbf.init_state(model_name, cfg)
+
+    def one(x, g, o, up, U):
+        r = mpc_cbf.solve(
+            model_name, spec, x, g, o, up,
+            mpc_cbf.MPCState(U=U, lam=jnp.zeros_like(st0.lam)), dt, cfg,
+        )
+        return r.u, r.viol, r.xs
+
+    return jax.jit(jax.vmap(one))(xs, goals, obs, u_prevs, Uw)
+
+
+def test_fused_generic_matches_xla_du():
+    spec = make_spec(DYNAMIC_UNICYCLE_2D, a_max=1.0, w_max=0.5)
+    cfg = mpc_cbf.MPCConfig(horizon=4, num_obs=5, outer_iters=2,
+                            newton_iters=2)
+    dt = 0.05
+    B = 4
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(0, 3, (B, 2)), rng.uniform(-1, 1, (B, 1)),
+             rng.uniform(0, 0.8, (B, 1))], axis=1), jnp.float32)
+    goals = jnp.tile(jnp.array([5.0, 1.0, 0, 0], jnp.float32), (B, 1))
+    obs1 = pad_obstacles(
+        jnp.asarray([[2.5, 0.8, 0.4, 0, 0, 0, 0],
+                     [4.0, -0.4, 0.8, 0.4, 4.0, 0.4, 1.0]], jnp.float32), 5)
+    obs = jnp.tile(obs1[None], (B, 1, 1))
+    u_prevs = jnp.zeros((B, 2), jnp.float32)
+    Uw = jnp.zeros((B, 4, 2), jnp.float32)
+    u_ref, viol_ref, xs_ref = _xla_batch(
+        DYNAMIC_UNICYCLE_2D, spec, cfg, dt, xs, goals, obs, u_prevs, Uw)
+    res = mpc_fused.solve_fused_batch(
+        DYNAMIC_UNICYCLE_2D, spec, xs, goals, obs, u_prevs, Uw, dt, cfg,
+        interpret=True)
+    assert np.max(np.abs(np.asarray(res.u) - np.asarray(u_ref))) < 2e-3
+    assert np.max(np.abs(np.asarray(res.xs) - np.asarray(xs_ref))) < 2e-3
+    np.testing.assert_allclose(
+        np.asarray(res.viol), np.asarray(viol_ref), atol=1e-3)
+
+
+def test_fused_generic_matches_xla_vtol():
+    """The config the kernel exists for: VTOL (full aero f/g, r=2 barrier,
+    asymmetric state bounds with an inf side) — shrunk horizon so the
+    interpreter stays fast; the full N=30 instance is exercised on real TPU
+    by bench.py's latency row."""
+    spec = make_spec(VTOL_2D)
+    cfg = mpc_cbf.MPCConfig(horizon=6, num_obs=5, outer_iters=2,
+                            newton_iters=2)
+    dt = 0.05
+    goals = jnp.tile(
+        jnp.array([80.0, 40.0, 0, 0, 0, 0], jnp.float32), (2, 1))
+    obs = jnp.tile(
+        pad_obstacles(
+            jnp.asarray([[40.0, 35.0, 3.0, 0, 0, 0, 0]], jnp.float32), 5
+        )[None], (2, 1, 1))
+    xs = jnp.asarray(
+        [[5.0, 40.0, 0.0, 10.0, 0.0, 0.0],
+         [8.0, 38.0, 0.05, 12.0, 0.5, 0.0]], jnp.float32)
+    u_prevs = jnp.zeros((2, 4), jnp.float32)
+    Uw = jnp.zeros((2, 6, 4), jnp.float32)
+    u_ref, viol_ref, _ = _xla_batch(
+        VTOL_2D, spec, cfg, dt, xs, goals, obs, u_prevs, Uw)
+    res = mpc_fused.solve_fused_batch(
+        VTOL_2D, spec, xs, goals, obs, u_prevs, Uw, dt, cfg, interpret=True)
+    assert np.max(np.abs(np.asarray(res.u) - np.asarray(u_ref))) < 2e-3
+    np.testing.assert_allclose(
+        np.asarray(res.viol), np.asarray(viol_ref), atol=1e-3)
+
+
+@pytest.mark.slow
+def test_fused_generic_closed_loop_drive():
+    """Scenario-level: the generic kernel IS the controller for a full
+    closed-loop DU drive at the default 8x3 budget — goal reached,
+    collision-free (the same predicate as the reference's examples)."""
+    spec = make_spec(DYNAMIC_UNICYCLE_2D, a_max=1.0, w_max=0.5)
+    model = get_model(DYNAMIC_UNICYCLE_2D)
+    cfg = mpc_cbf.MPCConfig(horizon=8, num_obs=5)
+    dt = 0.05
+    obs = pad_obstacles(
+        jnp.asarray([[3.0, 0.3, 0.45, 0, 0, 0, 0]], jnp.float32), 5)
+    goal = jnp.array([6.0, 1.2, 0.0, 0.0], jnp.float32)
+    x = jnp.array([0.0, 0.0, 0.3, 0.5], jnp.float32)
+    st = mpc_cbf.init_state(DYNAMIC_UNICYCLE_2D, cfg)
+    u_prev = jnp.zeros(2, jnp.float32)
+    min_clear = np.inf
+    reached = False
+    for _ in range(260):
+        res = mpc_fused.solve_fused_single(
+            DYNAMIC_UNICYCLE_2D, spec, x, goal, obs, u_prev, st, dt, cfg)
+        st, u_prev = res.state, res.u
+        x = model.step(x, res.u, spec, dt)
+        p = np.asarray(x)[:2]
+        min_clear = min(
+            min_clear, np.linalg.norm(p - [3.0, 0.3]) - 0.45 - 0.25)
+        if np.linalg.norm(p - [6.0, 1.2]) < 0.3:
+            reached = True
+            break
+    assert reached
+    assert min_clear > 0.0

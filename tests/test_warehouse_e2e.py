@@ -58,6 +58,28 @@ def test_warehouse_gatekeeper_survives_every_level(level):
     assert r["wp_i"] >= 2, (level, r)
 
 
+def test_warehouse_fold_prediction_is_bounce_exact():
+    """The gatekeeper's triangle-wave ghost prediction has ZERO model error
+    at sample times: the env reflects positions off the reference's [2, 98]
+    bounce band, so fold_position(x0 + v*t) reproduces the stepped ghost
+    path exactly (the ADVICE round-3 finding was that velocity-flip-only
+    bouncing lagged the fold by up to 2|v|dt = 0.8 m > GHOST_MARGIN)."""
+    from safe_control_tpu.envs.warehouse_env import fold_position
+
+    env = WarehouseEnv(level=3, dt=0.1)
+    g0 = np.asarray(env._ghosts).copy()
+    act = g0[:, 4] > 0
+    n = 400  # several bounces for the fast sweepers
+    for _ in range(n):
+        env.step()
+    g = np.asarray(env._ghosts)[act]
+    t = n * env.dt
+    px = np.asarray(fold_position(g0[act, 0] + g0[act, 2] * t))
+    py = np.asarray(fold_position(g0[act, 1] + g0[act, 3] * t))
+    assert np.abs(px - g[:, 0]).max() < 1e-9
+    assert np.abs(py - g[:, 1]).max() < 1e-9
+
+
 def test_warehouse_levels_6_7_exact_tables():
     """Levels 6-7 reproduce the reference's hand-shuffled ghost tables
     (warehouse_env.py:187-266), including the sequential reshuffle."""
