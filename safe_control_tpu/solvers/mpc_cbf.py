@@ -105,6 +105,15 @@ class MPCConfig(NamedTuple):
     # stays 0 and the f64 accuracy/parity mode turns it on.
     polish_iters: int = 0
     polish_ctol: float = 1e-2  # scaled-units activity threshold
+    # Mixed-precision experiment (round-3 verdict item 5): assemble the
+    # Gauss-Newton system (grad, H = J'J) and run the Newton solve in f64
+    # inside the otherwise-f32 solver.  Measured result (PERF.md): it fixes
+    # the kappa(H)*eps_32 STEP floor but not the anchor-deviation tail —
+    # the gradient itself is built from f32-rounded J and r, so its noise
+    # (eps_32*|J||r|) dominates the asymptotic error, and the f32 merit's
+    # eps*|r|^2 resolution still limits the line search.  Kept as an
+    # opt-in knob; the certification path remains the full-f64 mode.
+    newton_f64: bool = False
     # Route ``solve_batch`` through the fused Pallas mega-kernel
     # (solvers/mpc_du_kernel.py, 5.5x the XLA lowering on TPU) when the
     # configuration matches its specialization — see
@@ -416,6 +425,17 @@ def solve(
         basis = jnp.eye(N * m, dtype=dtype)
         Jr, Jc = jax.vmap(jvp)(basis)  # (Nm, n_r), (Nm, n_c) — row = d/dU_i
         act = jnp.maximum(0.0, lam - rho * c)
+        if cfg.newton_f64 and dtype == jnp.float32:
+            with jax.enable_x64(True):
+                Jr64 = Jr.astype(jnp.float64)
+                Jc64 = Jc.astype(jnp.float64)
+                r64 = r.astype(jnp.float64)
+                act64 = act.astype(jnp.float64)
+                grad64 = 2.0 * (Jr64 @ r64) - Jc64 @ act64
+                active = (act64 > 0.0).astype(jnp.float64)
+                Jca = Jc64 * active[None, :]
+                H64 = 2.0 * (Jr64 @ Jr64.T) + rho * (Jca @ Jca.T)
+            return grad64, H64, r, act
         grad = 2.0 * (Jr @ r) - Jc @ act
         active = (act > 0.0).astype(dtype)
         Jca = Jc * active[None, :]
@@ -424,26 +444,42 @@ def solve(
 
     alphas = jnp.array([1.0, 0.5, 0.25, 0.1, 0.03, 0.0], dtype=dtype)
 
-    def newton_step(Uf, lam, rho):
-        grad, H, r0, act0 = al_grad_hess(Uf, lam, rho)
-        H = H + cfg.reg * jnp.eye(N * m, dtype=dtype) * (1.0 + jnp.trace(H) / (N * m))
+    def _newton_direction(Uf, grad, H, hdtype):
+        """Damped projected-Newton direction at the given precision."""
+        H = H + cfg.reg * jnp.eye(N * m, dtype=hdtype) * (
+            1.0 + jnp.trace(H) / (N * m)
+        )
         # Projected Newton (Bertsekas): freeze variables sitting at an active
         # box bound with the gradient pushing outward, otherwise the clipped
         # step bends into an ascent direction and the line search stalls.
         eps_b = 1e-7
         at_lb = (Uf <= lb_flat + eps_b) & (grad > 0.0)
         at_ub = (Uf >= ub_flat - eps_b) & (grad < 0.0)
-        free = jnp.logical_not(at_lb | at_ub).astype(dtype)
+        free = jnp.logical_not(at_lb | at_ub).astype(hdtype)
         Hf = free[:, None] * H * free[None, :] + jnp.diag(1.0 - free)
         gf = free * grad
-        if N * m <= _UNROLL_CHOL_MAX:
-            step = -_chol_solve_unrolled(Hf, gf)
-        elif N * m <= _BLOCKED_CHOL_MAX:
-            step = -_chol_solve_blocked(Hf, gf)
-        else:
+        if hdtype == jnp.float64 or N * m > _BLOCKED_CHOL_MAX:
             step = -jax.scipy.linalg.cho_solve(
                 jax.scipy.linalg.cho_factor(Hf, lower=True), gf
             )
+        elif N * m <= _UNROLL_CHOL_MAX:
+            step = -_chol_solve_unrolled(Hf, gf)
+        else:
+            step = -_chol_solve_blocked(Hf, gf)
+        return step, Hf, gf
+
+    def newton_step(Uf, lam, rho):
+        grad, H, r0, act0 = al_grad_hess(Uf, lam, rho)
+        if cfg.newton_f64 and dtype == jnp.float32:
+            with jax.enable_x64(True):
+                step64, Hf64, gf64 = _newton_direction(
+                    Uf.astype(jnp.float64), grad, H, jnp.float64
+                )
+            step = step64.astype(dtype)
+            Hf = Hf64.astype(dtype)
+            gf = gf64.astype(dtype)
+        else:
+            step, Hf, gf = _newton_direction(Uf, grad, H, dtype)
 
         # Line search on the *difference* of merits, computed cancellation-
         # free:  L(a) - L(0) = (r_a - r_0)·(r_a + r_0)

@@ -128,6 +128,205 @@ def _mosaic_atan(x):
     return mosaic_atan2(x, jnp.ones_like(x) if hasattr(x, "shape") else 1.0)
 
 
+def _manual_dot(a, b, dimension_numbers, preferred_element_type):
+    """dot_general as broadcast-multiply + reduce-sum (no dot primitive).
+
+    Mosaic supports plain 2-D x 2-D matmuls but rejects the batched /
+    higher-rank dot_generals that ``vmap`` of model matvecs produces
+    (malformed TPU_DotDimensionNumbers for rank-3+ operands).  Shapes here
+    are tiny, so the VPU multiply+reduce form costs nothing.
+    """
+    (lc, rc), (lb, rb) = dimension_numbers
+    a_free = [i for i in range(a.ndim) if i not in lc and i not in lb]
+    b_free = [i for i in range(b.ndim) if i not in rc and i not in rb]
+    # layout: (batch..., free..., contract...)
+    at = jnp.transpose(a, list(lb) + a_free + list(lc))
+    bt = jnp.transpose(b, list(rb) + b_free + list(rc))
+    nb, nc = len(lb), len(lc)
+    naf, nbf = len(a_free), len(b_free)
+    # a: (batch, a_free, 1*nbf, contract); b: (batch, 1*naf, b_free, contract)
+    a_exp = at.reshape(
+        at.shape[:nb + naf] + (1,) * nbf + at.shape[nb + naf:]
+    )
+    bt_shape = bt.shape
+    b_exp = bt.reshape(
+        bt_shape[:nb] + (1,) * naf + bt_shape[nb:]
+    )
+    prod = a_exp * b_exp
+    out = jnp.sum(prod, axis=tuple(range(prod.ndim - nc, prod.ndim)))
+    if preferred_element_type is not None:
+        out = out.astype(preferred_element_type)
+    return out
+
+
+def _strip_units(shape):
+    return tuple(d for d in shape if d != 1)
+
+
+def _merge_last_two(x):
+    """(..., R, C) -> (..., R*C) via static slices + lane concat (Mosaic
+    rejects cross-lane reshapes; unit-dim squeezes are layout-trivial)."""
+    R = x.shape[-2]
+    if R == 1:
+        return jax.lax.squeeze(x, (x.ndim - 2,))
+    rows = [
+        jax.lax.squeeze(
+            jax.lax.slice_in_dim(x, i, i + 1, axis=x.ndim - 2),
+            (x.ndim - 2,),
+        )
+        for i in range(R)
+    ]
+    return jnp.concatenate(rows, axis=-1)
+
+
+def _split_last(x, R, C):
+    """(..., R*C) -> (..., R, C) via static slices + sublane stack."""
+    if R == 1:
+        return x[..., None, :]
+    parts = [
+        jax.lax.slice_in_dim(x, i * C, (i + 1) * C, axis=x.ndim - 1)[
+            ..., None, :
+        ]
+        for i in range(R)
+    ]
+    return jnp.concatenate(parts, axis=-2)
+
+
+def _reshape_safe(x, new_sizes):
+    """Mosaic-safe reshape: pass through unit-dim-only changes, otherwise
+    reconstruct via trailing-dim merges/splits over a shared prefix."""
+    new_sizes = tuple(int(d) for d in new_sizes)
+    if _strip_units(x.shape) == _strip_units(new_sizes):
+        return jax.lax.reshape(x, new_sizes)  # layout-trivial
+    old, new = list(x.shape), list(new_sizes)
+    # longest common leading prefix (kept as batch dims)
+    p = 0
+    while p < min(len(old), len(new)) and old[p] == new[p]:
+        p += 1
+    # guard: the trailing products must match (they do for a reshape)
+    # merge x's trailing dims down to one
+    while x.ndim > p + 1:
+        x = _merge_last_two(x)
+    if x.ndim == p:  # trailing part was empty: add a unit axis
+        x = x[..., None]
+    # split into the target trailing dims, left to right
+    tail = new[p:]
+    for i in range(len(tail) - 1):
+        rest = 1
+        for d in tail[i + 1:]:
+            rest *= d
+        x = _split_last(x, tail[i], rest)
+    if not tail:  # target trailing empty (scalar-ish): drop unit axis
+        x = jax.lax.squeeze(x, (x.ndim - 1,))
+    return x
+
+
+def _keep_as_dot(a, b, dimension_numbers):
+    (lc, rc), (lb, rb) = dimension_numbers
+    return (
+        a.ndim == 2 and b.ndim == 2 and not lb and not rb
+        and len(lc) == 1 and len(rc) == 1
+    )
+
+
+def _eval_rewritten(jaxpr, consts, *args):
+    """Evaluate a jaxpr re-emitting its ops, with dot_generals that Mosaic
+    cannot lower rewritten via ``_manual_dot``.  Recurses into scan / while /
+    cond sub-jaxprs (fori_loop lowers to one of these) and pjit calls."""
+    from jax import lax as jlax
+    from jax._src import core as jcore  # Literal/DropVar (no public home)
+
+    env = {}
+
+    def read(v):
+        return v.val if isinstance(v, jcore.Literal) else env[v]
+
+    def write(v, val):
+        env[v] = val
+
+    for v, c in zip(jaxpr.constvars, consts):
+        write(v, c)
+    for v, a in zip(jaxpr.invars, args):
+        write(v, a)
+
+    for eqn in jaxpr.eqns:
+        invals = [read(v) for v in eqn.invars]
+        prim = eqn.primitive
+        name = prim.name
+        if name == "dot_general":
+            a, b = invals
+            dn = eqn.params["dimension_numbers"]
+            pet = eqn.params.get("preferred_element_type")
+            if _keep_as_dot(a, b, dn):
+                out = prim.bind(*invals, **eqn.params)
+            else:
+                out = _manual_dot(a, b, dn, pet)
+            outs = [out]
+        elif name == "reshape" and eqn.params.get("dimensions") is None:
+            outs = [_reshape_safe(invals[0], eqn.params["new_sizes"])]
+        elif name == "scan":
+            p = eqn.params
+            nc_, ncar = p["num_consts"], p["num_carry"]
+            body = p["jaxpr"]  # ClosedJaxpr
+            sconsts = invals[:nc_]
+            init = invals[nc_:nc_ + ncar]
+            xs = invals[nc_ + ncar:]
+
+            def sbody(carry, x, _body=body, _sc=tuple(sconsts),
+                      _ncar=ncar):
+                outs_ = _eval_rewritten(
+                    _body.jaxpr, _body.consts, *_sc, *carry, *x
+                )
+                return tuple(outs_[:_ncar]), tuple(outs_[_ncar:])
+
+            carry_out, ys = jlax.scan(
+                sbody, tuple(init), tuple(xs), length=p["length"],
+                reverse=p["reverse"], unroll=p.get("unroll", 1),
+            )
+            outs = list(carry_out) + list(ys)
+        elif name == "while":
+            p = eqn.params
+            cj, bj = p["cond_jaxpr"], p["body_jaxpr"]
+            ncc, nbc = p["cond_nconsts"], p["body_nconsts"]
+            cconsts = invals[:ncc]
+            bconsts = invals[ncc:ncc + nbc]
+            init = invals[ncc + nbc:]
+
+            def wcond(carry, _cj=cj, _cc=tuple(cconsts)):
+                return _eval_rewritten(
+                    _cj.jaxpr, _cj.consts, *_cc, *carry
+                )[0]
+
+            def wbody(carry, _bj=bj, _bc=tuple(bconsts)):
+                return tuple(_eval_rewritten(
+                    _bj.jaxpr, _bj.consts, *_bc, *carry
+                ))
+
+            outs = list(jlax.while_loop(wcond, wbody, tuple(init)))
+        elif name == "cond":
+            p = eqn.params
+            branches = p["branches"]
+            idx, *ops = invals
+
+            def mk(br):
+                return lambda *a_: tuple(
+                    _eval_rewritten(br.jaxpr, br.consts, *a_)
+                )
+
+            outs = list(jlax.switch(idx, [mk(br) for br in branches], *ops))
+        elif name in ("pjit", "closed_call", "custom_jvp_call",
+                      "custom_vjp_call"):
+            cj = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            outs = list(_eval_rewritten(cj.jaxpr, cj.consts, *invals))
+        else:
+            out = prim.bind(*invals, **eqn.params)
+            outs = out if prim.multiple_results else [out]
+        for v, o in zip(eqn.outvars, outs):
+            if not isinstance(v, jcore.DropVar):
+                write(v, o)
+    return [read(v) for v in jaxpr.outvars]
+
+
 class _patched_trig:
     """Swap jnp.arctan2/arctan for Mosaic-lowerable polynomials while the
     algorithm is traced to a jaxpr (the SAME jaxpr runs in interpreter
@@ -407,13 +606,14 @@ def _get_solver(model_name, spec_leaves, dt, cfg, dtype_name, interpret):
             for ref, shape in zip(const_refs, const_shapes)
         ]
         cvals = [cu[i] for i in const_map]
-        Uf, xs_flat, viol = jax.core.eval_jaxpr(
+        Uf, xs_flat, viol = _eval_rewritten(
             closed.jaxpr, cvals,
             x0_ref[0], goal_ref[0], obs_ref[0], uprev_ref[0], u0_ref[0],
         )
         u_out[0] = Uf
         xs_out[0] = xs_flat
-        viol_out[0, 0] = viol
+        # write as (1,1) array: Mosaic cannot store scalars to VMEM
+        viol_out[...] = viol.reshape(1, 1)
 
     def solve_batch(xs, goals, obs, u_prevs, U_warm):
         B = xs.shape[0]

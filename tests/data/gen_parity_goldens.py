@@ -234,7 +234,8 @@ def du_rollout_np(x0, U):
     return np.stack(xs)
 
 
-def mpc_golden(x0, goal, u_prev, obs_rows, rr, a1, a2, v_max, U0=None):
+def mpc_golden(x0, goal, u_prev, obs_rows, rr, a1, a2, v_max, U0=None,
+               ftol=1e-14):
     def cost(U_flat):
         U = U_flat.reshape(N_MPC, 2)
         xs = du_rollout_np(x0, U)
@@ -266,7 +267,7 @@ def mpc_golden(x0, goal, u_prev, obs_rows, rr, a1, a2, v_max, U0=None):
         method="SLSQP",
         bounds=[(-1.0, 1.0), (-0.5, 0.5)] * N_MPC,
         constraints=[dict(type="ineq", fun=cbf), dict(type="ineq", fun=vbounds)],
-        options=dict(maxiter=500, ftol=1e-14),
+        options=dict(maxiter=500, ftol=ftol),
     )
     if not res.success:
         return None, None
