@@ -143,13 +143,15 @@ def step_fleet(
 # BASELINE anchor config 5 is "heterogeneous 4k-agent fleet WITH GATEKEEPER
 # SHIELDING".  Architecture mirrors the reference's shielded examples
 # (drift/evade): the gatekeeper OWNS the applied control — nominal = the
-# PD waypoint-tracking policy, backup = the stopping policy
-# (/root/reference/position_control/backup_controller.py:261-417), and the
+# PD waypoint-tracking policy, backup = a deadbeat brake policy (the
+# discrete-time version of the reference's StoppingController,
+# /root/reference/position_control/backup_controller.py:261-417), and the
 # per-robot commitment machinery is shielding/gatekeeper.py:553-665 made
-# batched: the per-robot ``GatekeeperState`` vmaps, and the moving-obstacle
-# check is the other robots under constant-velocity prediction — the same
-# prediction model the reference's DriftingEnv publishes for its obstacle
-# cars (envs/drifting_env.py:486-673).
+# batched: the per-robot ``GatekeeperState`` vmaps.  The moving-obstacle
+# check defaults to COMMITMENT SHARING — each robot validates against the
+# other robots' committed trajectories (see ``step_fleet_shielded``) —
+# with the reference's constant-velocity prediction model
+# (envs/drifting_env.py:486-673) available as a comparison mode.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -172,6 +172,11 @@ class LocalTrackingController:
                 horizon=horizon,
                 num_obs=5,
                 optimal_decay=(pos_type == "optimal_decay_mpc_cbf"),
+                # opt-in fused Pallas MPC kernel (single-robot latency path;
+                # ~minutes of Mosaic compile on first use per machine, then
+                # cached — see solvers/mpc_fused.py)
+                use_fused_kernel=bool(robot_spec.get("use_fused_kernel",
+                                                     False)),
             ),
             grid=grid,
             visibility_mode=str(

@@ -401,7 +401,7 @@ def step(
         mpc_state = state.mpc
     elif cfg.uses_mpc:
         goal_full = jnp.zeros((model.N_STATES,), dtype=dtype).at[:2].set(wp)
-        res = mpc_mod.solve(
+        res = mpc_mod.solve_dispatch(
             cfg.model_name,
             spec,
             x,

@@ -261,6 +261,42 @@ def solve_batch(
     return jax.vmap(one)(xs, goals, obs, u_prevs, mpc_state.U, mpc_state.lam)
 
 
+def solve_dispatch(
+    model_name: str,
+    spec,
+    x0,
+    goal,
+    obs,
+    u_prev,
+    mpc_state: MPCState,
+    dt: float,
+    cfg: MPCConfig = MPCConfig(),
+) -> MPCResult:
+    """``solve`` with opt-in routing to the generic fused Pallas kernel.
+
+    With ``cfg.use_fused_kernel``, a supported configuration, and a
+    CONCRETE spec (the kernel closes over spec values as scalars — inside
+    jit this holds when the spec is a closure constant, as in the
+    LocalTrackingController wrapper), the whole solve runs as one Pallas
+    kernel — the single-robot LATENCY path (PERF.md: the VTOL N=30 row).
+    Falls back to the XLA ``solve`` otherwise.
+    """
+    if cfg.use_fused_kernel and x0.dtype == jnp.float32:
+        from safe_control_tpu.solvers import mpc_fused
+
+        if mpc_fused.fused_available(model_name, cfg):
+            try:
+                return mpc_fused.solve_fused_single(
+                    model_name, spec, x0, goal, obs, u_prev, mpc_state,
+                    dt, cfg,
+                )
+            except (jax.errors.ConcretizationTypeError, TypeError):
+                pass  # traced spec: fall through to the XLA path
+    return solve(
+        model_name, spec, x0, goal, obs, u_prev, mpc_state, dt, cfg
+    )
+
+
 def solve(
     model_name: str,
     spec,

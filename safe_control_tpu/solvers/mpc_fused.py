@@ -163,32 +163,54 @@ def _strip_units(shape):
     return tuple(d for d in shape if d != 1)
 
 
+
+def _sum_over_sublane(x):
+    """sum over axis -2 with the reduction moved to the trailing (lane)
+    axis first — Mosaic rejects sublane reductions with rank-dropped
+    outputs ("unsupported output implicit dimension")."""
+    return jnp.sum(jnp.swapaxes(x, -1, -2), axis=-1)
+
 def _merge_last_two(x):
-    """(..., R, C) -> (..., R*C) via static slices + lane concat (Mosaic
-    rejects cross-lane reshapes; unit-dim squeezes are layout-trivial)."""
-    R = x.shape[-2]
+    """(..., R, C) -> (..., R*C) via iota-mask contractions.
+
+    Mosaic rejects cross-lane reshapes outright, and concatenating SLICES
+    crashes its layout pass ("result/input offset mismatch on non-concat
+    dimension": each slice carries the offset it was cut at).  Mask
+    contractions produce fresh zero-offset values: piece i lands in lanes
+    [i*C, (i+1)*C) of the output through a (C, R*C) selection mask.
+    """
+    R, C = x.shape[-2], x.shape[-1]
     if R == 1:
         return jax.lax.squeeze(x, (x.ndim - 2,))
-    rows = [
-        jax.lax.squeeze(
-            jax.lax.slice_in_dim(x, i, i + 1, axis=x.ndim - 2),
-            (x.ndim - 2,),
-        )
-        for i in range(R)
-    ]
-    return jnp.concatenate(rows, axis=-1)
+    S = R * C
+    lane = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+    src = jax.lax.broadcasted_iota(jnp.int32, (C, S), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    out = None
+    for i in range(R):
+        P = (src == lane - i * C).astype(x.dtype) * (
+            (lane >= i * C) & (lane < (i + 1) * C)
+        ).astype(x.dtype)
+        # row extraction by mask-sum, not by slicing (offset layouts)
+        piece = _sum_over_sublane(x * (rows == i).astype(x.dtype))
+        contrib = _sum_over_sublane(piece[..., :, None] * P)  # (..., S)
+        out = contrib if out is None else out + contrib
+    return out
 
 
 def _split_last(x, R, C):
-    """(..., R*C) -> (..., R, C) via static slices + sublane stack."""
+    """(..., R*C) -> (..., R, C) via iota-mask contractions (see
+    ``_merge_last_two`` for why slices + concat cannot be used)."""
     if R == 1:
         return x[..., None, :]
-    parts = [
-        jax.lax.slice_in_dim(x, i * C, (i + 1) * C, axis=x.ndim - 1)[
-            ..., None, :
-        ]
-        for i in range(R)
-    ]
+    T = x.shape[-1]
+    src = jax.lax.broadcasted_iota(jnp.int32, (T, C), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
+    parts = []
+    for i in range(R):
+        Q = (src == i * C + lane).astype(x.dtype)  # (T, C)
+        piece = jnp.sum(x[..., :, None] * Q, axis=-2)  # (..., C)
+        parts.append(piece[..., None, :])
     return jnp.concatenate(parts, axis=-2)
 
 
@@ -264,6 +286,31 @@ def _eval_rewritten(jaxpr, consts, *args):
             outs = [out]
         elif name == "reshape" and eqn.params.get("dimensions") is None:
             outs = [_reshape_safe(invals[0], eqn.params["new_sizes"])]
+        elif name == "concatenate" and invals[0].ndim == 1:
+            # 1-D concats crossing the 128-lane tile boundary crash Mosaic;
+            # the 2-D lane-concat form lowers fine (probed) — go through it.
+            outs = [jax.lax.squeeze(
+                jnp.concatenate([v[None, :] for v in invals], axis=1), (0,)
+            )]
+        elif name in ("reduce_sum", "reduce_max", "reduce_min",
+                      "reduce_prod", "reduce_and", "reduce_or"):
+            # Mosaic rejects reductions over non-trailing (sublane) axes
+            # with rank-dropped outputs ("unsupported output implicit
+            # dimension"); transpose the reduced axes to the end first.
+            (x,) = invals
+            axes = tuple(eqn.params["axes"])
+            trailing = tuple(range(x.ndim - len(axes), x.ndim))
+            if axes == trailing or x.ndim == len(axes):
+                outs = [prim.bind(x, **eqn.params)]
+            else:
+                keep = [d for d in range(x.ndim) if d not in axes]
+                xt = jnp.transpose(x, keep + list(axes))
+                fn = dict(
+                    reduce_sum=jnp.sum, reduce_max=jnp.max,
+                    reduce_min=jnp.min, reduce_prod=jnp.prod,
+                    reduce_and=jnp.all, reduce_or=jnp.any,
+                )[name]
+                outs = [fn(xt, axis=tuple(range(len(keep), x.ndim)))]
         elif name == "scan":
             p = eqn.params
             nc_, ncar = p["num_consts"], p["num_carry"]
@@ -384,14 +431,27 @@ def _make_algorithm(model_name, spec_f, dt, cfg, dtype):
         lb_flat = _tiled_const_vec(lbu, N, dtype)
         ub_flat = _tiled_const_vec(ubu, N, dtype)
 
-        def rollout(U):
+        # Mosaic layout discipline: all stacked arrays below are built from
+        # the PYTHON list of per-stage states (fresh zero-offset values) and
+        # columns are extracted with lane-mask reductions — never with array
+        # slices like xs_full[1:] or xs[:, i], whose offset-carrying layouts
+        # crash or fail Mosaic's layout pass when they reach a concatenate.
+        def rollout_list(U):
             xs = [x0]
             for k in range(N):
                 xs.append(model.step(xs[-1], U[k], spec_f, dt))
-            return jnp.stack(xs)  # (N+1, n)
+            return xs  # python list of (n,)
+
+        def rollout(U):
+            return jnp.stack(rollout_list(U))  # (N+1, n)
+
+        def _col(mat, i):
+            """mat[:, i] as a lane-mask reduction (fresh layout)."""
+            lane = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 1)
+            return jnp.sum(jnp.where(lane == i, mat, 0.0), axis=-1)
 
         def residual(U):
-            xs = rollout(U)[1:]
+            xs = jnp.stack(rollout_list(U)[1:])
             state_res = (xs - goal[None, :]) * qs_vec[None, :]
             du = U - jnp.concatenate([u_prev[None, :], U[:-1]], axis=0)
             input_res = du * rs_vec[None, :]
@@ -405,26 +465,27 @@ def _make_algorithm(model_name, spec_f, dt, cfg, dtype):
             )(states)
 
         def constraints(U):
-            # same work-sharing structure as mpc_cbf.solve.constraints
-            xs_full = rollout(U)
-            H = _h_all(xs_full)  # (N+1, K)
-            h_k, h_k1 = H[:N], H[1:]
+            xs_list = rollout_list(U)
+            xs_k = jnp.stack(xs_list[:-1])  # (N, n), fresh
+            xs_k1 = jnp.stack(xs_list[1:])  # (N, n), fresh
+            h_k = _h_all(xs_k)  # (N, K)
+            h_k1 = _h_all(xs_k1)
             if model.REL_DEG == 1:
                 cbf = (h_k1 - h_k) + spec_f.mpc_cbf_alpha * h_k
             else:
                 x2 = jax.vmap(
                     lambda xk1, uk: model.step(xk1, uk, spec_f, dt)
-                )(xs_full[1:], U)
+                )(xs_k1, U)
                 H2 = _h_all(x2)
                 d_h = h_k1 - h_k
                 dd_h = H2 - 2.0 * h_k1 + h_k
                 a1, a2 = spec_f.mpc_cbf_alpha1, spec_f.mpc_cbf_alpha2
                 cbf = dd_h + (a1 + a2) * d_h + a1 * a2 * h_k
             cons = [cbf.ravel()]
-            xs = xs_full[1:]
             for i in bounded_idx:
-                cons.append(ub_xv[i] - xs[:, i])
-                cons.append(xs[:, i] - lb_xv[i])
+                col = _col(xs_k1, i)
+                cons.append(ub_xv[i] - col)
+                cons.append(col - lb_xv[i])
             return jnp.concatenate(cons)
 
         Uf0 = jnp.clip(U0.ravel(), lb_flat, ub_flat)
@@ -598,40 +659,51 @@ def _get_solver(model_name, spec_leaves, dt, cfg, dtype_name, interpret):
     ]
 
     def kernel(*refs):
+        # Full-array VMEM blocks + one-hot row selection: small trailing
+        # dims (n, m, ...) violate Mosaic's (8, 128) block-divisibility rule
+        # unless the block equals the whole array, and dynamic row slices
+        # produce offset layouts that crash the Mosaic layout pass — a
+        # one-hot multiply+reduce sidesteps both.
+        i = pl.program_id(0)
         x0_ref, goal_ref, obs_ref, uprev_ref, u0_ref = refs[:5]
         const_refs = refs[5:5 + len(uniq_consts)]
         u_out, xs_out, viol_out = refs[5 + len(uniq_consts):]
+
+        def take_row(ref):
+            arr = ref[...]  # (B, d)
+            rows = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
+            return _sum_over_sublane(jnp.where(rows == i, arr, 0.0))
+
+        def put_row(ref, vec):
+            arr = ref[...]
+            rows = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
+            ref[...] = jnp.where(rows == i, vec[None, :], arr)
+
         cu = [
-            ref[...].reshape(shape) if shape else ref[0, 0]
+            _reshape_safe(ref[...], shape) if shape else ref[0, 0]
             for ref, shape in zip(const_refs, const_shapes)
         ]
-        cvals = [cu[i] for i in const_map]
+        cvals = [cu[j] for j in const_map]
         Uf, xs_flat, viol = _eval_rewritten(
             closed.jaxpr, cvals,
-            x0_ref[0], goal_ref[0], obs_ref[0], uprev_ref[0], u0_ref[0],
+            take_row(x0_ref), take_row(goal_ref), take_row(obs_ref),
+            take_row(uprev_ref), take_row(u0_ref),
         )
-        u_out[0] = Uf
-        xs_out[0] = xs_flat
-        # write as (1,1) array: Mosaic cannot store scalars to VMEM
-        viol_out[...] = viol.reshape(1, 1)
+        put_row(u_out, Uf)
+        put_row(xs_out, xs_flat)
+        put_row(viol_out, viol[None])
 
     def solve_batch(xs, goals, obs, u_prevs, U_warm):
         B = xs.shape[0]
         # shift-by-one warm start, exactly like mpc_cbf.solve
         U0 = jnp.concatenate([U_warm[:, 1:], U_warm[:, -1:]], axis=1)
         grid = (B,)
-        row = lambda d: pl.BlockSpec(
-            (1, d), lambda i: (i, 0), memory_space=pltpu.VMEM
-        )
-        bcast = lambda d: pl.BlockSpec(
-            (1, d), lambda i: (0, 0), memory_space=pltpu.VMEM
-        )
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
         U_t, xs_t, viol_t = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[row(n), row(n), row(K * 7), row(m), row(M)]
-            + [bcast(c.shape[1]) for c in const_flat],
-            out_specs=(row(M), row((N + 1) * n), row(1)),
+            in_specs=[full] * (5 + len(const_flat)),
+            out_specs=(full, full, full),
             out_shape=(
                 jax.ShapeDtypeStruct((B, M), dtype),
                 jax.ShapeDtypeStruct((B, (N + 1) * n), dtype),
