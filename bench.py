@@ -228,7 +228,12 @@ def bench_fused_du_kernel(batch=4096, reps=5):
 
 
 def bench_per_step_latency():
-    """Single-robot control_step() wall time through the public wrapper."""
+    """Single-robot control_step() wall time through the public wrapper.
+
+    ``vtol_mpc_n30`` keeps the default accuracy budget (historically the
+    one red BASELINE row); ``vtol_mpc_n30_rti`` is the shipped real-time
+    configuration for that row (see the case comment below).
+    """
     from safe_control_tpu.sim.controller import LocalTrackingController
 
     out = {}
@@ -238,30 +243,40 @@ def bench_per_step_latency():
         "du_mpc_cbf": (dict(model="DynamicUnicycle2D", a_max=1.0, w_max=0.5,
                             radius=0.25), {"pos": "mpc_cbf"}, 0.05),
         "vtol_mpc_n30": (dict(model="VTOL2D"), {"pos": "mpc_cbf"}, 0.05),
+        # the real-time route for the one red BASELINE row: warm-started
+        # RTI budget (MPCConfig.rti — measured 3.9 ms/Newton on-device, so
+        # 2x2 = 4 Newtons lands under the 50 ms period even including the
+        # ~25 ms tunnel round trip; closed-loop quality validated in
+        # tests/test_vtol_e2e.py)
+        "vtol_mpc_n30_rti": (dict(model="VTOL2D", mpc_rti=True),
+                             {"pos": "mpc_cbf"}, 0.05),
     }
     for name, (rspec, ctype, dt) in cases.items():
-        ctrl = LocalTrackingController(
-            np.zeros(3) if rspec["model"] != "VTOL2D" else
-            np.array([5.0, 40.0, 0.0]),
-            rspec, controller_type=ctype, dt=dt,
-        )
-        wp = [[8.0, 4.0]] if rspec["model"] != "VTOL2D" else [[120.0, 40.0]]
-        ctrl.set_waypoints(wp)
-        ctrl.obs = np.array([[4.0, 2.0, 0.4, 0, 0, 0, 0]], float) \
-            if rspec["model"] != "VTOL2D" else np.zeros((0, 7))
-        for _ in range(3):  # compile + warm
-            ctrl.control_step()
-        ts = []
-        for _ in range(30):
-            t0 = time.perf_counter()
-            ctrl.control_step()
-            ts.append(time.perf_counter() - t0)
-        out[name] = dict(
-            median_ms=round(float(np.median(ts)) * 1e3, 3),
-            p95_ms=round(float(np.percentile(ts, 95)) * 1e3, 3),
-            budget_ms=dt * 1e3,
-            within_budget=bool(np.median(ts) < dt),
-        )
+        try:
+            ctrl = LocalTrackingController(
+                np.zeros(3) if rspec["model"] != "VTOL2D" else
+                np.array([5.0, 40.0, 0.0]),
+                rspec, controller_type=ctype, dt=dt,
+            )
+            wp = [[8.0, 4.0]] if rspec["model"] != "VTOL2D" else [[120.0, 40.0]]
+            ctrl.set_waypoints(wp)
+            ctrl.obs = np.array([[4.0, 2.0, 0.4, 0, 0, 0, 0]], float) \
+                if rspec["model"] != "VTOL2D" else np.zeros((0, 7))
+            for _ in range(3):  # compile + warm
+                ctrl.control_step()
+            ts = []
+            for _ in range(30):
+                t0 = time.perf_counter()
+                ctrl.control_step()
+                ts.append(time.perf_counter() - t0)
+            out[name] = dict(
+                median_ms=round(float(np.median(ts)) * 1e3, 3),
+                p95_ms=round(float(np.percentile(ts, 95)) * 1e3, 3),
+                budget_ms=dt * 1e3,
+                within_budget=bool(np.median(ts) < dt),
+            )
+        except Exception as e:  # never lose the other latency rows
+            out[name] = f"error: {type(e).__name__}: {e}"
     return out
 
 

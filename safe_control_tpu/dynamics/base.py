@@ -58,17 +58,22 @@ def euler(x, dx, dt):
 def masked_apply(x, fn, lo: int, hi: int):
     """Apply an elementwise ``fn`` to ``x[lo:hi]`` as a branch-free select.
 
-    Equivalent to ``x.at[lo:hi].set(fn(x)[lo:hi])`` but lowers to a
-    constant-mask ``where`` instead of scatter — model ``step`` functions
-    run inside fused Pallas kernels (solvers/mpc_fused.py), and Mosaic has
-    no scatter lowering.  ``fn`` must be safe to evaluate on the whole
-    vector (only the masked lanes are kept).
+    Equivalent to ``x.at[lo:hi].set(fn(x)[lo:hi])`` but lowers to an
+    iota-mask ``where`` instead of scatter — model ``step`` functions run
+    inside fused Pallas kernels (solvers/mpc_fused.py), and Mosaic has no
+    scatter lowering.  The mask is built from a COMPUTED iota, not a
+    constant array (Pallas rejects captured constants, and inside a
+    ``lax.scan`` body a constant would become a hidden sub-jaxpr const).
+    ``fn`` must be safe to evaluate on the whole vector (only the masked
+    lanes are kept).
     """
-    import numpy as _np
+    import jax as _jax
 
-    mask = _np.zeros(x.shape[0], bool)
-    mask[lo:hi] = True
-    return jnp.where(jnp.asarray(mask), fn(x), x)
+    n = x.shape[0]
+    idx = _jax.lax.squeeze(
+        _jax.lax.broadcasted_iota(jnp.int32, (1, n), 1), (0,)
+    )
+    return jnp.where((idx >= lo) & (idx < hi), fn(x), x)
 
 
 def free_bounds(n: int):

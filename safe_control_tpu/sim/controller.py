@@ -168,16 +168,7 @@ class LocalTrackingController:
             reached_threshold=float(
                 robot_spec.get("reached_threshold", 0.3)
             ),
-            mpc=mpc_mod.MPCConfig(
-                horizon=horizon,
-                num_obs=5,
-                optimal_decay=(pos_type == "optimal_decay_mpc_cbf"),
-                # opt-in fused Pallas MPC kernel (single-robot latency path;
-                # ~minutes of Mosaic compile on first use per machine, then
-                # cached — see solvers/mpc_fused.py)
-                use_fused_kernel=bool(robot_spec.get("use_fused_kernel",
-                                                     False)),
-            ),
+            mpc=self._build_mpc_cfg(robot_spec, horizon, pos_type),
             grid=grid,
             visibility_mode=str(
                 robot_spec.get("visibility_violation_mode", "safety_area")
@@ -201,6 +192,32 @@ class LocalTrackingController:
         self.u_pos = np.zeros(model.N_CONTROLS)
         self.last_safety_mask = None
         self._step_jit = None
+
+    @staticmethod
+    def _build_mpc_cfg(robot_spec, horizon, pos_type):
+        """MPC configuration from reference-style robot_spec keys.
+
+        - ``mpc_rti``: True selects the real-time-iteration budget
+          (``MPCConfig.rti`` — the measured route to the 50 ms budget for
+          VTOL N=30, see PERF.md); explicit ``mpc_outer_iters`` /
+          ``mpc_newton_iters`` override either preset.
+        - ``use_fused_kernel``: opt-in fused Pallas MPC kernel (single-
+          robot latency path for small/medium horizons; minutes of Mosaic
+          compile on first use per machine, then persistent-cached).
+        """
+        kw = dict(
+            horizon=horizon,
+            num_obs=5,
+            optimal_decay=(pos_type == "optimal_decay_mpc_cbf"),
+            use_fused_kernel=bool(robot_spec.get("use_fused_kernel", False)),
+        )
+        base = (mpc_mod.MPCConfig.rti if robot_spec.get("mpc_rti")
+                else mpc_mod.MPCConfig)
+        if "mpc_outer_iters" in robot_spec:
+            kw["outer_iters"] = int(robot_spec["mpc_outer_iters"])
+        if "mpc_newton_iters" in robot_spec:
+            kw["newton_iters"] = int(robot_spec["mpc_newton_iters"])
+        return base(**kw)
 
     @staticmethod
     def _pad_x0(X0, model):

@@ -64,10 +64,19 @@ class FusedResult(NamedTuple):
 
 def fused_available(model_name: str, cfg: mpc_mod.MPCConfig) -> bool:
     """The generic kernel supports everything but the optimal-decay and
-    polish variants (their extra decision/KKT structure is XLA-path only)."""
+    polish variants (their extra decision/KKT structure is XLA-path only).
+
+    Decision widths above ~64 are also excluded: the Mosaic compile of the
+    fused program grows super-linearly with the unrolled problem size and
+    was measured to exceed the TPU compile helper's memory/time at M=120
+    (VTOL N=30) — that latency case is served by the RTI budget
+    (``MPCConfig.rti``) on the XLA path instead; see PERF.md.
+    """
     try:
-        get_model(model_name)
+        model = get_model(model_name)
     except Exception:
+        return False
+    if cfg.horizon * model.N_CONTROLS > 64:
         return False
     return not cfg.optimal_decay and cfg.polish_iters == 0
 
@@ -182,6 +191,9 @@ def _merge_last_two(x):
     R, C = x.shape[-2], x.shape[-1]
     if R == 1:
         return jax.lax.squeeze(x, (x.ndim - 2,))
+    if C == 1:  # (.., R, 1) -> (.., R): lane<->sublane transpose + squeeze
+        xt = jnp.swapaxes(x, -1, -2)  # (.., 1, R)
+        return jax.lax.squeeze(xt, (xt.ndim - 2,))
     S = R * C
     lane = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
     src = jax.lax.broadcasted_iota(jnp.int32, (C, S), 0)
@@ -203,6 +215,8 @@ def _split_last(x, R, C):
     ``_merge_last_two`` for why slices + concat cannot be used)."""
     if R == 1:
         return x[..., None, :]
+    if C == 1:  # (.., T) -> (.., T, 1): transpose-route (see _unit_reshape)
+        return jnp.swapaxes(x[..., None, :], -1, -2)
     T = x.shape[-1]
     src = jax.lax.broadcasted_iota(jnp.int32, (T, C), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
@@ -214,12 +228,43 @@ def _split_last(x, R, C):
     return jnp.concatenate(parts, axis=-2)
 
 
+def _unit_reshape(x, new_sizes):
+    """Stripped-equal reshape where the minor-most dim CHANGES (e.g.
+    (L,) -> (L, 1)): in Mosaic layout terms that is a lane<->sublane
+    TRANSPOSE, not a trivial reshape.  Route through unit inserts at -2
+    (minor dim preserved — trivial) + swapaxes (supported relayout)."""
+    stripped = _strip_units(new_sizes)
+    if not stripped:  # all-unit target; scalars reshape trivially
+        return jax.lax.reshape(x, new_sizes)
+    # 1) strip x down to `stripped`
+    while x.ndim > len(stripped):
+        d = next(i for i, s in enumerate(x.shape) if s == 1)
+        if d == x.ndim - 1 and x.ndim >= 2:
+            x = jnp.swapaxes(x, -1, -2)
+            d = x.ndim - 2
+        x = jax.lax.squeeze(x, (d,))
+    # 2) insert units to reach new_sizes, left to right
+    for i, s in enumerate(new_sizes):
+        if x.ndim > i and x.shape[i] == s:
+            continue
+        assert s == 1, (x.shape, new_sizes)
+        if i == len(new_sizes) - 1:
+            x = x[..., None, :]  # unit at -2 (minor dim preserved)
+            x = jnp.swapaxes(x, -1, -2)
+        else:
+            x = jax.lax.expand_dims(x, (i,))
+    return x
+
+
 def _reshape_safe(x, new_sizes):
-    """Mosaic-safe reshape: pass through unit-dim-only changes, otherwise
+    """Mosaic-safe reshape: pass through unit-dim-only changes that keep
+    the minor-most dim, transpose-route those that do not, otherwise
     reconstruct via trailing-dim merges/splits over a shared prefix."""
     new_sizes = tuple(int(d) for d in new_sizes)
     if _strip_units(x.shape) == _strip_units(new_sizes):
-        return jax.lax.reshape(x, new_sizes)  # layout-trivial
+        if (x.shape and new_sizes and x.shape[-1] == new_sizes[-1]):
+            return jax.lax.reshape(x, new_sizes)  # layout-trivial
+        return _unit_reshape(x, new_sizes)
     old, new = list(x.shape), list(new_sizes)
     # longest common leading prefix (kept as batch dims)
     p = 0
@@ -251,12 +296,37 @@ def _keep_as_dot(a, b, dimension_numbers):
     )
 
 
-def _eval_rewritten(jaxpr, consts, *args):
+def _const_key(c):
+    a = np.asarray(c)
+    return (a.dtype.str, a.shape, a.tobytes())
+
+
+def _eval_rewritten(jaxpr, consts, *args, lookup=None):
     """Evaluate a jaxpr re-emitting its ops, with dot_generals that Mosaic
     cannot lower rewritten via ``_manual_dot``.  Recurses into scan / while /
-    cond sub-jaxprs (fori_loop lowers to one of these) and pjit calls."""
+    cond sub-jaxprs (fori_loop lowers to one of these) and pjit calls.
+
+    ``lookup`` maps ``_const_key`` of a concrete const array to its traced
+    kernel-input value: sub-jaxprs (e.g. lax.scan bodies) carry their OWN
+    consts (model g-matrix literals etc.), which would otherwise become
+    captured constants of the Pallas kernel.
+    """
     from jax import lax as jlax
     from jax._src import core as jcore  # Literal/DropVar (no public home)
+
+    def _resolve(cs):
+        if lookup is None:
+            return list(cs)
+        out = []
+        for c in cs:
+            try:
+                if np.ndim(c) > 0:
+                    out.append(lookup.get(_const_key(c), c))
+                    continue
+            except Exception:  # traced value: leave as-is
+                pass
+            out.append(c)
+        return out
 
     env = {}
 
@@ -312,25 +382,92 @@ def _eval_rewritten(jaxpr, consts, *args):
                 )[name]
                 outs = [fn(xt, axis=tuple(range(len(keep), x.ndim)))]
         elif name == "scan":
+            # Mosaic's scan lowering rejects extensive (per-iteration)
+            # inputs/outputs entirely — re-express as a fori_loop: xs rows
+            # are selected with traced-index one-hot dots, ys rows are
+            # accumulated into carried zero-init buffers with one-hot
+            # writes.  (jax.linearize of a scan produces exactly such
+            # extensive xs/ys: the stacked primal residuals.)
             p = eqn.params
             nc_, ncar = p["num_consts"], p["num_carry"]
             body = p["jaxpr"]  # ClosedJaxpr
+            L_len = p["length"]
+            reverse = p["reverse"]
             sconsts = invals[:nc_]
-            init = invals[nc_:nc_ + ncar]
-            xs = invals[nc_ + ncar:]
+            init = list(invals[nc_:nc_ + ncar])
+            xs = list(invals[nc_ + ncar:])
+            # bool xs enter the loop body as f32 (see y_isbool below)
+            xs_isbool = [a.dtype == jnp.bool_ for a in xs]
+            xs = [
+                a.astype(jnp.float32) if b else a
+                for a, b in zip(xs, xs_isbool)
+            ]
+            n_ys = len(body.jaxpr.outvars) - ncar
+            y_avals = [v.aval for v in body.jaxpr.outvars[ncar:]]
+            # bool ys travel as f32 inside the loop carry: loop-carried
+            # bools need an i8->i1 trunc on body entry, which Mosaic
+            # cannot lower for vector shapes
+            y_isbool = [av.dtype == jnp.bool_ for av in y_avals]
+            y_bufs = [
+                jnp.zeros((L_len,) + av.shape,
+                          jnp.float32 if b else av.dtype)
+                for av, b in zip(y_avals, y_isbool)
+            ]
 
-            def sbody(carry, x, _body=body, _sc=tuple(sconsts),
-                      _ncar=ncar):
+            def _sel_row(arr, t):
+                """arr[t] with traced t, fresh layout."""
+                if arr.ndim == 1:  # scalar pick via (1,L)@(L,1) dot
+                    m2 = (jax.lax.broadcasted_iota(
+                        jnp.int32, (L_len, 1), 0) == t).astype(jnp.float32)
+                    val = jnp.dot(arr[None, :].astype(jnp.float32), m2,
+                                  preferred_element_type=jnp.float32)[0, 0]
+                    return val.astype(arr.dtype)
+                mask = (jax.lax.broadcasted_iota(
+                    jnp.int32, (L_len,) + (1,) * (arr.ndim - 1), 0
+                ) == t)
+                picked = jnp.where(mask, arr, jnp.zeros_like(arr))
+                # reduce the leading (scan) axis as the TRAILING axis
+                return jnp.sum(jnp.moveaxis(picked, 0, -1), axis=-1)
+
+            def fbody(t, carry):
+                cvars = list(carry[:ncar])
+                bufs = list(carry[ncar:])
+                idx_t = (L_len - 1 - t) if reverse else t
+                x_t = [
+                    (_sel_row(a, idx_t) > 0.5) if b
+                    else _sel_row(a, idx_t)
+                    for a, b in zip(xs, xs_isbool)
+                ]
                 outs_ = _eval_rewritten(
-                    _body.jaxpr, _body.consts, *_sc, *carry, *x
+                    body.jaxpr, _resolve(body.consts),
+                    *sconsts, *cvars, *x_t, lookup=lookup,
                 )
-                return tuple(outs_[:_ncar]), tuple(outs_[_ncar:])
+                new_c = list(outs_[:ncar])
+                ys_t = outs_[ncar:]
+                new_bufs = []
+                for buf, y, b in zip(bufs, ys_t, y_isbool):
+                    if b:
+                        y = y.astype(jnp.float32)
+                    if buf.ndim == 1:
+                        rows = _irange(L_len)
+                        yb = y[None]
+                    else:
+                        rows = jax.lax.broadcasted_iota(
+                            jnp.int32,
+                            (L_len,) + (1,) * (buf.ndim - 1), 0,
+                        )
+                        yb = y[None, ...]
+                    new_bufs.append(
+                        buf + jnp.where(rows == idx_t, yb,
+                                        jnp.zeros_like(buf))
+                    )
+                return tuple(new_c + new_bufs)
 
-            carry_out, ys = jlax.scan(
-                sbody, tuple(init), tuple(xs), length=p["length"],
-                reverse=p["reverse"], unroll=p.get("unroll", 1),
-            )
-            outs = list(carry_out) + list(ys)
+            final = jlax.fori_loop(0, L_len, fbody, tuple(init + y_bufs))
+            outs = list(final[:ncar]) + [
+                (y > 0.5) if b else y
+                for y, b in zip(final[ncar:ncar + n_ys], y_isbool)
+            ]
         elif name == "while":
             p = eqn.params
             cj, bj = p["cond_jaxpr"], p["body_jaxpr"]
@@ -341,12 +478,14 @@ def _eval_rewritten(jaxpr, consts, *args):
 
             def wcond(carry, _cj=cj, _cc=tuple(cconsts)):
                 return _eval_rewritten(
-                    _cj.jaxpr, _cj.consts, *_cc, *carry
+                    _cj.jaxpr, _resolve(_cj.consts), *_cc, *carry,
+                    lookup=lookup,
                 )[0]
 
             def wbody(carry, _bj=bj, _bc=tuple(bconsts)):
                 return tuple(_eval_rewritten(
-                    _bj.jaxpr, _bj.consts, *_bc, *carry
+                    _bj.jaxpr, _resolve(_bj.consts), *_bc, *carry,
+                    lookup=lookup,
                 ))
 
             outs = list(jlax.while_loop(wcond, wbody, tuple(init)))
@@ -357,14 +496,16 @@ def _eval_rewritten(jaxpr, consts, *args):
 
             def mk(br):
                 return lambda *a_: tuple(
-                    _eval_rewritten(br.jaxpr, br.consts, *a_)
+                    _eval_rewritten(br.jaxpr, _resolve(br.consts), *a_,
+                                    lookup=lookup)
                 )
 
             outs = list(jlax.switch(idx, [mk(br) for br in branches], *ops))
-        elif name in ("pjit", "closed_call", "custom_jvp_call",
+        elif name in ("pjit", "jit", "closed_call", "custom_jvp_call",
                       "custom_vjp_call"):
             cj = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
-            outs = list(_eval_rewritten(cj.jaxpr, cj.consts, *invals))
+            outs = list(_eval_rewritten(cj.jaxpr, _resolve(cj.consts),
+                                        *invals, lookup=lookup))
         else:
             out = prim.bind(*invals, **eqn.params)
             outs = out if prim.multiple_results else [out]
@@ -431,31 +572,37 @@ def _make_algorithm(model_name, spec_f, dt, cfg, dtype):
         lb_flat = _tiled_const_vec(lbu, N, dtype)
         ub_flat = _tiled_const_vec(ubu, N, dtype)
 
-        # Mosaic layout discipline: all stacked arrays below are built from
-        # the PYTHON list of per-stage states (fresh zero-offset values) and
-        # columns are extracted with lane-mask reductions — never with array
-        # slices like xs_full[1:] or xs[:, i], whose offset-carrying layouts
-        # crash or fail Mosaic's layout pass when they reach a concatenate.
-        def rollout_list(U):
-            xs = [x0]
-            for k in range(N):
-                xs.append(model.step(xs[-1], U[k], spec_f, dt))
-            return xs  # python list of (n,)
+        # Mosaic layout discipline: stacked arrays are built by one-hot row
+        # ACCUMULATION inside a lax.scan (fresh zero-offset values, jaxpr
+        # size O(1) in N — a python-unrolled rollout made the VTOL N=30
+        # kernel a 122k-eqn jaxpr and a >1 h Mosaic compile), and rows /
+        # columns are extracted with iota-mask dots — never with array
+        # slices like xs_full[1:] or xs[:, i], whose offset-carrying
+        # layouts crash Mosaic's layout pass when they reach a concatenate.
+        rows_n1 = jax.lax.broadcasted_iota(jnp.int32, (N + 1, 1), 0)
+        _rN = jax.lax.broadcasted_iota(jnp.int32, (N, N + 1), 0)
+        _cN = jax.lax.broadcasted_iota(jnp.int32, (N, N + 1), 1)
+        Sh0 = (_cN == _rN).astype(dtype)      # picks rows 0..N-1 of (N+1, .)
+        Sh1 = (_cN == _rN + 1).astype(dtype)  # picks rows 1..N
 
         def rollout(U):
-            return jnp.stack(rollout_list(U))  # (N+1, n)
+            """(N+1, n) rollout via scan with one-hot row writes."""
+            XS0 = x0[None, :] * (rows_n1 == 0).astype(dtype)
+
+            def body(carry, inp):
+                x, XS = carry
+                u, k = inp
+                x1 = model.step(x, u, spec_f, dt)
+                XS = XS + x1[None, :] * (rows_n1 == k + 1).astype(dtype)
+                return (x1, XS), None
+
+            (_, XS), _ = jax.lax.scan(body, (x0, XS0), (U, _irange(N)))
+            return XS
 
         def _col(mat, i):
             """mat[:, i] as a lane-mask reduction (fresh layout)."""
             lane = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 1)
             return jnp.sum(jnp.where(lane == i, mat, 0.0), axis=-1)
-
-        def residual(U):
-            xs = jnp.stack(rollout_list(U)[1:])
-            state_res = (xs - goal[None, :]) * qs_vec[None, :]
-            du = U - jnp.concatenate([u_prev[None, :], U[:-1]], axis=0)
-            input_res = du * rs_vec[None, :]
-            return jnp.concatenate([state_res.ravel(), input_res.ravel()])
 
         def _h_all(states):
             return jax.vmap(
@@ -464,12 +611,20 @@ def _make_algorithm(model_name, spec_f, dt, cfg, dtype):
                 )(obs)
             )(states)
 
-        def constraints(U):
-            xs_list = rollout_list(U)
-            xs_k = jnp.stack(xs_list[:-1])  # (N, n), fresh
-            xs_k1 = jnp.stack(xs_list[1:])  # (N, n), fresh
-            h_k = _h_all(xs_k)  # (N, K)
-            h_k1 = _h_all(xs_k1)
+        def rc_shared(U):
+            """(residual, unscaled constraints) from ONE shared rollout —
+            the same work-sharing as mpc_cbf.solve.constraints, expressed
+            with shift-select dots instead of slices."""
+            XS = rollout(U)  # (N+1, n)
+            xs_k1 = jnp.dot(Sh1, XS, preferred_element_type=dtype)
+            state_res = (xs_k1 - goal[None, :]) * qs_vec[None, :]
+            du = U - jnp.concatenate([u_prev[None, :], U[:-1]], axis=0)
+            input_res = du * rs_vec[None, :]
+            r = jnp.concatenate([state_res.ravel(), input_res.ravel()])
+
+            H = _h_all(XS)  # (N+1, K), shared between h_k and h_k1
+            h_k = jnp.dot(Sh0, H, preferred_element_type=dtype)
+            h_k1 = jnp.dot(Sh1, H, preferred_element_type=dtype)
             if model.REL_DEG == 1:
                 cbf = (h_k1 - h_k) + spec_f.mpc_cbf_alpha * h_k
             else:
@@ -486,7 +641,13 @@ def _make_algorithm(model_name, spec_f, dt, cfg, dtype):
                 col = _col(xs_k1, i)
                 cons.append(ub_xv[i] - col)
                 cons.append(col - lb_xv[i])
-            return jnp.concatenate(cons)
+            return r, jnp.concatenate(cons)
+
+        def residual(U):
+            return rc_shared(U)[0]
+
+        def constraints(U):
+            return rc_shared(U)[1]
 
         Uf0 = jnp.clip(U0.ravel(), lb_flat, ub_flat)
         basis = jnp.eye(M, dtype=dtype)
@@ -503,46 +664,76 @@ def _make_algorithm(model_name, spec_f, dt, cfg, dtype):
         n_con = c_scale.shape[0]
 
         def al_terms(U_flat, lam, rho):
-            U = U_flat.reshape(N, m)
-            r = residual(U)
-            c = constraints(U) * c_scale
+            r, c_raw = rc_shared(U_flat.reshape(N, m))
+            c = c_raw * c_scale
             act = jnp.maximum(0.0, lam - rho * c)
             return r, act
 
+        # Cholesky + substitutions as fori_loops over masked column ops:
+        # the column index is TRACED, so every row/column/scalar access is a
+        # mask-reduction (Mosaic allows traced comparisons, not traced
+        # gathers).  vs a python-unrolled version this cuts the kernel
+        # jaxpr by ~M x, which is what keeps the M=120 Mosaic compile sane.
+        idxM = _irange(M)
+        _riota = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+        _ciota = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+        eyeM = (_riota == _ciota).astype(dtype)
+
+        def _row(mat, j):
+            """mat[j, :] with traced j (mask-reduction, fresh layout)."""
+            return _sum_over_sublane(
+                mat * (idxM == j).astype(dtype)[:, None]
+            )
+
+        _colM_iota = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+
+        def _elem(vec, j):
+            """vec[j] with traced j, via a (1,M)@(M,1) dot — Mosaic rejects
+            the (1,M)->(1,) masked lane reduction this would otherwise be."""
+            mask2 = (_colM_iota == j).astype(dtype)  # (M, 1)
+            return jnp.dot(
+                vec[None, :], mask2, preferred_element_type=dtype
+            )[0, 0]
+
         def chol_masked(H):
-            """Cholesky of (M, M) via unrolled masked column updates (no
-            dynamic indexing; ~5 vector ops per column)."""
-            idx = _irange(M)
-            L = jnp.zeros_like(H)
-            for j in range(M):
-                v = H[:, j] - jnp.dot(
-                    L, L[j, :], preferred_element_type=dtype
-                )
-                ljj = jnp.sqrt(jnp.maximum(v[j], 1e-20))
-                colj = jnp.where(idx >= j, v / ljj, 0.0)
-                L = L + colj[:, None] * (idx == j)[None, :].astype(dtype)
-            return L
+            def col_step(j, L):
+                Lj = _row(L, j)  # row j of L = column j of L^T
+                Hcol = jnp.sum(
+                    H * (idxM == j)[None, :].astype(dtype), axis=-1
+                )  # H[:, j] (lane mask-reduction)
+                v = Hcol - jnp.sum(L * Lj[None, :], axis=-1)
+                # v = H[:, j] - L @ L[j, :]
+                ljj = jnp.sqrt(jnp.maximum(_elem(v, j), 1e-20))
+                colj = jnp.where(idxM >= j, v / ljj, 0.0)
+                return L + colj[:, None] * (idxM == j)[None, :].astype(dtype)
+
+            return jax.lax.fori_loop(0, M, col_step, jnp.zeros_like(H))
 
         def chol_solve(L, b):
-            """L L^T x = b by column-oriented substitution (axpy form)."""
-            idx = _irange(M)
-            y = b
-            for j in range(M):
-                yj = y[j] / L[j, j]
-                y = jnp.where(idx > j, y - yj * L[:, j], y)
-                y = jnp.where(idx == j, yj, y)
-            x = y
-            for j in reversed(range(M)):
-                xj = x[j] / L[j, j]
-                # L^T's column j is L's ROW j
-                x = jnp.where(idx < j, x - xj * L[j, :], x)
-                x = jnp.where(idx == j, xj, x)
-            return x
+            diag = jnp.sum(L * eyeM, axis=-1)  # (M,)
+
+            def fwd(j, y):
+                yj = _elem(y, j) / _elem(diag, j)
+                colj = jnp.sum(L * (idxM == j)[None, :].astype(dtype),
+                               axis=-1)  # L[:, j]
+                y = jnp.where(idxM > j, y - yj * colj, y)
+                return jnp.where(idxM == j, yj, y)
+
+            y = jax.lax.fori_loop(0, M, fwd, b)
+
+            def bwd(t, x):
+                j = M - 1 - t
+                xj = _elem(x, j) / _elem(diag, j)
+                rowj = _row(L, j)  # L^T's column j is L's ROW j
+                x = jnp.where(idxM < j, x - xj * rowj, x)
+                return jnp.where(idxM == j, xj, x)
+
+            return jax.lax.fori_loop(0, M, bwd, y)
 
         def newton_step(Uf, lam, rho):
             def rc(Ufl):
-                U = Ufl.reshape(N, m)
-                return residual(U), constraints(U) * c_scale
+                r, c_raw = rc_shared(Ufl.reshape(N, m))
+                return r, c_raw * c_scale
 
             (r0, c0), jvpf = jax.linearize(rc, Uf)
             Jr, Jc = jax.vmap(jvpf)(basis)  # (M, NR), (M, NC)
@@ -554,7 +745,7 @@ def _make_algorithm(model_name, spec_f, dt, cfg, dtype):
             H = 2.0 * jnp.dot(Jr, Jr.T, preferred_element_type=dtype) + \
                 rho * jnp.dot(Jca, Jca.T, preferred_element_type=dtype)
             idx = _irange(M)
-            eye = (idx[:, None] == idx[None, :]).astype(dtype)
+            eye = eyeM
             tr = jnp.sum(H * eye)
             H = H + cfg.reg * eye * (1.0 + tr / M)
 
@@ -568,16 +759,20 @@ def _make_algorithm(model_name, spec_f, dt, cfg, dtype):
             L = chol_masked(Hf)
             step = -chol_solve(L, gf)
 
-            # merit deltas, cancellation-free (mpc_cbf.newton_step)
+            # merit deltas, cancellation-free (mpc_cbf.newton_step);
+            # vmapped over the alphas (compact jaxpr — the rollout inside
+            # merit_delta is traced once, batched by 6)
             base_cost = r0 @ r0 + (act0 @ act0) / (2.0 * rho)
-            deltas = []
-            for a in alphas:
+            alphas_vec = _const_vec(alphas, dtype)
+
+            def merit_delta(a):
                 cand = jnp.clip(Uf + a * step, lb_flat, ub_flat)
                 r_a, act_a = al_terms(cand, lam, rho)
                 d_cost = (r_a - r0) @ (r_a + r0)
                 d_pen = ((act_a - act0) @ (act_a + act0)) / (2.0 * rho)
-                deltas.append(d_cost + d_pen)
-            dvec = jnp.stack(deltas)  # (6,)
+                return d_cost + d_pen
+
+            dvec = jax.vmap(merit_delta)(alphas_vec)
             dvec = jnp.where(jnp.isfinite(dvec), dvec, jnp.inf)
             best = jnp.argmin(dvec)
             noise_floor = noise_eps * base_cost
@@ -585,9 +780,9 @@ def _make_algorithm(model_name, spec_f, dt, cfg, dtype):
                 Hf, step, preferred_element_type=dtype
             ))
             best = jnp.where(pred >= -noise_floor, 0, best)
-            alpha = jnp.zeros((), dtype)
-            for i, a in enumerate(alphas):
-                alpha = jnp.where(best == i, jnp.asarray(a, dtype), alpha)
+            n_alpha = len(alphas)
+            sel = (_irange(n_alpha) == best).astype(dtype)
+            alpha = jnp.sum(alphas_vec * sel)
             return jnp.clip(Uf + alpha * step, lb_flat, ub_flat)
 
         def outer_body(_, carry):
@@ -642,20 +837,40 @@ def _get_solver(model_name, spec_leaves, dt, cfg, dtype_name, interpret):
     )
     with _patched_trig():
         closed = jax.make_jaxpr(algorithm)(*example)
-    consts = [np.asarray(c) for c in closed.consts]
-    # dedupe identical constants (the same f/g block repeats per stage)
+
+    # Collect constant arrays RECURSIVELY (dedup by value): lax.scan /
+    # while / cond bodies carry their OWN consts (model f/g literals,
+    # masked_apply patterns, ...) which would otherwise surface as captured
+    # Pallas constants when the interpreter evaluates the sub-jaxpr.
     uniq: dict = {}
-    const_map = []  # index into uniq for each jaxpr const
-    for c in consts:
-        key = (c.dtype.str, c.shape, c.tobytes())
-        if key not in uniq:
-            uniq[key] = (len(uniq), c)
-        const_map.append(uniq[key][0])
+
+    def _collect(jx, cs):
+        for c in cs:
+            a = np.asarray(c)
+            if a.ndim == 0:
+                continue  # scalars stay literals
+            key = (a.dtype.str, a.shape, a.tobytes())
+            if key not in uniq:
+                uniq[key] = (len(uniq), a)
+        for eqn in jx.eqns:
+            for v in eqn.params.values():
+                vs = v if isinstance(v, (list, tuple)) else [v]
+                for b in vs:
+                    if hasattr(b, "jaxpr") and hasattr(b, "consts"):
+                        _collect(b.jaxpr, b.consts)
+
+    _collect(closed.jaxpr, closed.consts)
     uniq_consts = [c for _, c in uniq.values()]
     const_shapes = [c.shape for c in uniq_consts]
+    const_bool = [c.dtype == np.bool_ for c in uniq_consts]
+    # bool consts travel as f32 and are reconstructed by comparison: the
+    # i8 -> i1 truncation a bool kernel input would need has no Mosaic
+    # lowering for vector shapes
     const_flat = [
-        jnp.asarray(c).reshape(1, max(int(np.size(c)), 1))
-        for c in uniq_consts
+        jnp.asarray(
+            c.astype(np.float32) if b else c
+        ).reshape(1, max(int(np.size(c)), 1))
+        for c, b in zip(uniq_consts, const_bool)
     ]
 
     def kernel(*refs):
@@ -679,16 +894,27 @@ def _get_solver(model_name, spec_leaves, dt, cfg, dtype_name, interpret):
             rows = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
             ref[...] = jnp.where(rows == i, vec[None, :], arr)
 
-        cu = [
-            _reshape_safe(ref[...], shape) if shape else ref[0, 0]
-            for ref, shape in zip(const_refs, const_shapes)
+        cu = []
+        for ref, shape, was_bool in zip(const_refs, const_shapes,
+                                        const_bool):
+            v = _reshape_safe(ref[...], shape) if shape else ref[0, 0]
+            cu.append((v > 0.5) if was_bool else v)
+        lookup = {key: cu[idx] for key, (idx, _) in uniq.items()}
+        cvals = [
+            lookup.get(_const_key(c), c) if np.ndim(c) else c
+            for c in closed.consts
         ]
-        cvals = [cu[j] for j in const_map]
-        Uf, xs_flat, viol = _eval_rewritten(
-            closed.jaxpr, cvals,
-            take_row(x0_ref), take_row(goal_ref), take_row(obs_ref),
-            take_row(uprev_ref), take_row(u0_ref),
-        )
+        # disable_jit: ops RE-EMITTED by the rewrite rules (jnp.remainder
+        # etc. are inline-jitted) must not create fresh pjit sub-calls —
+        # XLA's function dedup mis-binds same-named callees with different
+        # operand types in this deeply-nested evaluation
+        with jax.disable_jit():
+            Uf, xs_flat, viol = _eval_rewritten(
+                closed.jaxpr, cvals,
+                take_row(x0_ref), take_row(goal_ref), take_row(obs_ref),
+                take_row(uprev_ref), take_row(u0_ref),
+                lookup=lookup,
+            )
         put_row(u_out, Uf)
         put_row(xs_out, xs_flat)
         put_row(viol_out, viol[None])

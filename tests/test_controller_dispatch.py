@@ -155,17 +155,25 @@ def test_visibility_violation_reachable_through_wrapper():
 def test_vtol_collision_oracle_ground_and_pitch():
     # VTOL ground-strike / pitch terms (tracking.py:488-495) fire through the
     # orchestrator's collision oracle, not hand-checks in the example.
+    # horizon 4: the collision oracle under test is horizon-independent,
+    # and the default N=10 VTOL MPC dominated this test's runtime (~145 s)
+    from safe_control_tpu.solvers import mpc_cbf as mpc_mod
+
     cfg = tracking.TrackerConfig(model_name="VTOL2D", pos_controller="mpc_cbf",
                                  att_controller="none", dt=0.05,
-                                 vtol_pitch_oracle="strict")
+                                 vtol_pitch_oracle="strict",
+                                 mpc=mpc_mod.MPCConfig(horizon=4, num_obs=5))
     spec = spec_mod.make_spec("VTOL2D")
     wps = jnp.asarray([[50.0, 10.0]], dtype=jnp.float32)
     known = jnp.tile(jnp.asarray([1e3, 1e3, 0, 0, 0, 0, 0], jnp.float32), (4, 1))
 
+    step_jit = jax.jit(
+        lambda st: tracking.step(cfg, spec, st, wps, jnp.asarray(1), known)
+    )
+
     def one_ret(x0):
         st = tracking.init_state(cfg, spec, x0, first_goal=wps[0])
-        out = tracking.step(cfg, spec, st, wps, jnp.asarray(1), known)
-        return int(out.ret)
+        return int(step_jit(st).ret)
 
     # below ground -> -2
     assert one_ret(jnp.asarray([5.0, -0.1, 0, 5.0, 0, 0], jnp.float32)) == -2

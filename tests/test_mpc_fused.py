@@ -64,6 +64,8 @@ def test_fused_generic_matches_xla_du():
         np.asarray(res.viol), np.asarray(viol_ref), atol=1e-3)
 
 
+@pytest.mark.slow  # ~75 s interpret compile; the DU variant guards the
+# fast tier's kernel coverage
 def test_fused_generic_matches_xla_vtol():
     """The config the kernel exists for: VTOL (full aero f/g, r=2 barrier,
     asymmetric state bounds with an inf side) — shrunk horizon so the

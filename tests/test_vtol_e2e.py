@@ -40,10 +40,22 @@ def test_vtol_dynamics_hover_trim():
 
 
 @pytest.mark.slow
-def test_vtol_mpc_corridor():
+@pytest.mark.parametrize(
+    "mpc_cfg",
+    [mpc_cbf.MPCConfig(horizon=30, num_obs=5),
+     mpc_cbf.MPCConfig.rti(horizon=30, num_obs=5)],
+    ids=["default-budget", "rti-latency-budget"],
+)
+def test_vtol_mpc_corridor(mpc_cfg):
     """Fly toward a waypoint at altitude with a pillar field ahead
     (test_vtol.py scenario, shortened).  Must make forward progress at
-    altitude without hitting pillars or the ground."""
+    altitude without hitting pillars or the ground.
+
+    Runs at BOTH budgets: the default accuracy budget and the shipped RTI
+    latency budget (MPCConfig.rti — the configuration the per-step-latency
+    bench reports within the 50 ms real-time budget).  Quality predicates
+    are identical: the latency mode must not trade safety or liveness.
+    """
     pillar_x = 37.0
     rows = [[pillar_x, float(y), 0.5] for y in range(6, 10)]
     known = pad_obstacles(
@@ -53,7 +65,7 @@ def test_vtol_mpc_corridor():
     cfg = tracking.TrackerConfig(
         model_name=VTOL_2D, pos_controller="mpc_cbf", dt=DT, num_obs=8,
         reached_threshold=1.0,
-        mpc=mpc_cbf.MPCConfig(horizon=30, num_obs=5),
+        mpc=mpc_cfg,
     )
     x0 = jnp.array([2.0, 10.0, 0.0, 20.0, 0.0, 0.0])
     st = tracking.init_state(cfg, SPEC, x0, 0.0, first_goal=np.array([2.0, 10.0]))
