@@ -19,8 +19,9 @@ failures are recorded as strings, never abort the main metric):
 - per_step_latency_ms: ONE robot's control_step() wall time through the
   public LocalTrackingController wrapper vs the reference's real-time
   budget (dt = 0.05 s -> 50 ms; BASELINE.md real-time parity row).
-- fleet_shielded_1024: agent-steps/s of the gatekeeper-shielded
-  heterogeneous fleet (BASELINE anchor config 5) with shields engaging.
+- fleet_shielded_4096: agent-steps/s of the 4,096-agent 3-family
+  gatekeeper-shielded fleet (BASELINE anchor config 5 at spec) with
+  shields engaging and the minimum pairwise clearance reported.
 
 Run on the real TPU (default env).  Make sure no other TPU-attached python
 process is alive (single tunnel).
@@ -192,10 +193,14 @@ def bench_fused_du_kernel(batch=4096, reps=5):
         lam=jnp.tile(st0.lam[None], (batch, 1)),
     )
 
-    def run(st):
-        return mpc_cbf.solve_batch(
+    # jit the WHOLE batch step: an eager solve_batch would re-trace its
+    # vmapped rollout on every call (measured: 244k -> 5.7k solves/s from
+    # host-side tracing alone)
+    run = jax.jit(
+        lambda st: mpc_cbf.solve_batch(
             DYNAMIC_UNICYCLE_2D, spec, xs, goals, obs, u_prevs, st, dt, cfg
         )
+    )
 
     t0 = time.perf_counter()
     res = run(state)
@@ -311,16 +316,25 @@ def build_shielded_fleet_3fam(rows, dt=0.05, nominal_steps=16,
     )
     n_du = n_kb = rows // 2
     n_di = rows
+    # safety_margin 0.25: commitments adopted mid-chunk are validated
+    # against the chunk-start snapshot of the other robots' commitments;
+    # the margin must absorb that re-commit divergence window (measured:
+    # 0.1 m let a 4 cm overlap through at 4,096 agents; 0.25 m with
+    # event-aligned chunks is clean)
+    margin = 0.25
     groups = [
         fleet_mod.ShieldedGroup(
             model_name=DYNAMIC_UNICYCLE_2D, count=n_du,
-            gk=dataclasses.replace(GK, model_name=DYNAMIC_UNICYCLE_2D)),
+            gk=dataclasses.replace(GK, model_name=DYNAMIC_UNICYCLE_2D),
+            safety_margin=margin),
         fleet_mod.ShieldedGroup(
             model_name=KINEMATIC_BICYCLE_2D, count=n_kb,
-            gk=dataclasses.replace(GK, model_name=KINEMATIC_BICYCLE_2D)),
+            gk=dataclasses.replace(GK, model_name=KINEMATIC_BICYCLE_2D),
+            safety_margin=margin),
         fleet_mod.ShieldedGroup(
             model_name=DOUBLE_INTEGRATOR_2D, count=n_di,
-            gk=dataclasses.replace(GK, model_name=DOUBLE_INTEGRATOR_2D)),
+            gk=dataclasses.replace(GK, model_name=DOUBLE_INTEGRATOR_2D),
+            safety_margin=margin),
     ]
     specs = [
         make_spec(DYNAMIC_UNICYCLE_2D, a_max=1.0, w_max=0.8, v_max=0.6,
@@ -358,9 +372,14 @@ def build_shielded_fleet_3fam(rows, dt=0.05, nominal_steps=16,
     return groups, specs, x0s, wps, n_wps, known
 
 
-def bench_fleet_shielded(total=4096, chunks=7, n_steps=10):
+def bench_fleet_shielded(total=4096, chunks=17, n_steps=4):
     """BASELINE anchor 5 at spec: 4,096 agents, 3 model families
-    (DU + KB + DI), gatekeeper-shielded, head-on conflicts in every lane."""
+    (DU + KB + DI), gatekeeper-shielded, head-on conflicts in every lane.
+
+    n_steps = 4 aligns chunks with the gatekeeper event period so at most
+    one commitment event happens per snapshot window, and k_neighbors = 8
+    covers the clusters that form when lanes jam (4 missed the colliding
+    neighbor at 4,096 agents)."""
     import jax
 
     from safe_control_tpu.parallel import fleet as fleet_mod
@@ -371,7 +390,7 @@ def bench_fleet_shielded(total=4096, chunks=7, n_steps=10):
     step = jax.jit(
         lambda s: fleet_mod.step_fleet_shielded(
             groups, specs, s, wps, n_wps, known, n_steps=n_steps,
-            k_neighbors=4,
+            k_neighbors=8,
         )
     )
     state = step(state)
@@ -403,7 +422,7 @@ def main() -> None:
         ("mpcc_n30_solves_per_sec", bench_mpcc_n30),
         ("per_step_latency_ms", bench_per_step_latency),
         ("fused_du_kernel_solves_per_sec", bench_fused_du_kernel),
-        ("fleet_shielded_1024", bench_fleet_shielded),
+        ("fleet_shielded_4096", bench_fleet_shielded),
     ):
         try:
             v = fn()

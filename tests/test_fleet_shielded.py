@@ -175,13 +175,15 @@ def test_three_family_anchor_structure_collision_free():
     groups, specs, x0s, wps, n_wps, known = build_shielded_fleet_3fam(rows=8)
     assert len(groups) == 3
     state = fleet_mod.init_shielded_fleet(groups, x0s)
+    # same chunk/neighbor parameters as the TPU bench (event-aligned
+    # chunks, wide neighbor set — see bench.bench_fleet_shielded)
     step = jax.jit(
         lambda s: fleet_mod.step_fleet_shielded(
-            groups, specs, s, wps, n_wps, known, n_steps=5, k_neighbors=4
+            groups, specs, s, wps, n_wps, known, n_steps=4, k_neighbors=8
         )
     )
     min_clear = np.inf
-    for _ in range(24):  # 120 control steps = 6 s sim
+    for _ in range(30):  # 120 control steps = 6 s sim
         state = step(state)
         min_clear = min(min_clear,
                         fleet_mod.min_pairwise_clearance(groups, state))
