@@ -1,6 +1,11 @@
 """VTOL2D transition-flight example (examples/test_vtol.py analog).
 
-Usage:  python examples/test_vtol.py [--render] [--tf 100]
+Usage:  python examples/test_vtol.py [--render] [--tf 100] [--rti]
+
+``--rti`` selects the real-time-iteration MPC budget (MPCConfig.rti): the
+configuration that meets the reference's 50 ms control period on TPU for
+the N=30 horizon (PERF.md latency roofline; quality gated in
+tests/test_vtol_e2e.py).
 
 Full reference route (test_vtol.py:19-64): cruise the corridor at altitude
 from (2,10) to (70,10), then descend between the two pillar columns
@@ -33,6 +38,8 @@ def main():
     parser = argparse.ArgumentParser(description="VTOL2D corridor + descent + landing.")
     parser.add_argument("--render", action="store_true")
     parser.add_argument("--tf", type=float, default=100.0)
+    parser.add_argument("--rti", action="store_true",
+                        help="real-time-iteration MPC budget (50 ms period)")
     args = parser.parse_args()
 
     from safe_control_tpu.envs.env import Env
@@ -46,6 +53,8 @@ def main():
         "reached_threshold": 1.0,
         "mpc_horizon": 30,
     }
+    if args.rti:
+        robot_spec["mpc_rti"] = True
     env = Env(width=75.0, height=20.0)
     v_init = robot_spec["v_max"]
     x_init = np.hstack([WAYPOINTS[0][:2], [0.0, v_init, 0.0, 0.0]])
