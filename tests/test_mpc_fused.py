@@ -72,7 +72,10 @@ def test_fused_generic_matches_xla_vtol():
     interpreter stays fast; the full N=30 instance is exercised on real TPU
     by bench.py's latency row."""
     spec = make_spec(VTOL_2D)
-    cfg = mpc_cbf.MPCConfig(horizon=6, num_obs=5, outer_iters=2,
+    # horizon 4 (not 6): interpret-mode cost is XLA-CPU compile of the
+    # kernel program, ~linear in horizon (measured 95 s vs 182 s); 4
+    # stages already exercise the full aero f/g, r=2 barrier and bounds
+    cfg = mpc_cbf.MPCConfig(horizon=4, num_obs=5, outer_iters=2,
                             newton_iters=2)
     dt = 0.05
     goals = jnp.tile(
@@ -85,7 +88,7 @@ def test_fused_generic_matches_xla_vtol():
         [[5.0, 40.0, 0.0, 10.0, 0.0, 0.0],
          [8.0, 38.0, 0.05, 12.0, 0.5, 0.0]], jnp.float32)
     u_prevs = jnp.zeros((2, 4), jnp.float32)
-    Uw = jnp.zeros((2, 6, 4), jnp.float32)
+    Uw = jnp.zeros((2, 4, 4), jnp.float32)
     u_ref, viol_ref, _ = _xla_batch(
         VTOL_2D, spec, cfg, dt, xs, goals, obs, u_prevs, Uw)
     res = mpc_fused.solve_fused_batch(
@@ -118,13 +121,17 @@ def test_fused_generic_closed_loop_drive():
     x = jnp.array([0.0, 0.0, 0.3, 0.5], jnp.float32)
     st = mpc_cbf.init_state(DYNAMIC_UNICYCLE_2D, cfg)
     u_prev = jnp.zeros(2, jnp.float32)
+
+    @jax.jit
+    def drive(x, u_prev, st):
+        res = mpc_fused.solve_fused_single(
+            DYNAMIC_UNICYCLE_2D, spec, x, goal, obs, u_prev, st, dt, cfg)
+        return model.step(x, res.u, spec, dt), res.u, res.state
+
     min_clear = np.inf
     reached = False
     for _ in range(260):
-        res = mpc_fused.solve_fused_single(
-            DYNAMIC_UNICYCLE_2D, spec, x, goal, obs, u_prev, st, dt, cfg)
-        st, u_prev = res.state, res.u
-        x = model.step(x, res.u, spec, dt)
+        x, u_prev, st = drive(x, u_prev, st)
         p = np.asarray(x)[:2]
         min_clear = min(
             min_clear, np.linalg.norm(p - [3.0, 0.3]) - 0.45 - 0.25)
