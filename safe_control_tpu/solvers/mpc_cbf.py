@@ -211,6 +211,7 @@ def fused_kernel_available(model_name: str, cfg: MPCConfig) -> bool:
         and cfg.horizon == duk.N
         and cfg.num_obs == duk.K
         and not cfg.optimal_decay
+        and not cfg.newton_f64  # the f32 kernel cannot honor f64 refinement
         and cfg.outer_iters == duk.OUTER
         and cfg.newton_iters == duk.NEWTON
         and cfg.polish_iters == 0
@@ -300,22 +301,55 @@ def solve_dispatch(
     CONCRETE spec (the kernel closes over spec values as scalars — inside
     jit this holds when the spec is a closure constant, as in the
     LocalTrackingController wrapper), the whole solve runs as one Pallas
-    kernel — the single-robot LATENCY path (PERF.md: the VTOL N=30 row).
-    Falls back to the XLA ``solve`` otherwise.
+    kernel — a single-launch path with no intermediate HBM round trips.
+    Falls back to the XLA ``solve`` otherwise, and NEVER silently: every
+    fallback is logged with its reason (a blanket except here masked a
+    kernel-construction bug for a whole round), and only the narrow
+    spec-concreteness probe may swallow an exception — any error raised by
+    the kernel builder itself propagates.
     """
     if cfg.use_fused_kernel and x0.dtype == jnp.float32:
         from safe_control_tpu.solvers import mpc_fused
 
-        if mpc_fused.fused_available(model_name, cfg):
+        if cfg.newton_f64:
+            _log_fused_fallback(
+                "newton_f64 requested: the f32 fused kernel would drop the "
+                "explicit f64 Newton refinement — using the XLA path"
+            )
+        elif not mpc_fused.fused_available(model_name, cfg):
+            _log_fused_fallback(
+                f"configuration unsupported by the fused kernel "
+                f"(model={model_name}, M={cfg.horizon}*m, "
+                f"optimal_decay={cfg.optimal_decay}, "
+                f"polish_iters={cfg.polish_iters})"
+            )
+        else:
+            # Concreteness probe, kept deliberately narrow: ONLY the
+            # "spec leaves are traced values" condition falls back.
             try:
+                mpc_fused._spec_statics(spec)
+                spec_concrete = True
+            except (jax.errors.ConcretizationTypeError, TypeError):
+                spec_concrete = False
+            if spec_concrete:
                 return mpc_fused.solve_fused_single(
                     model_name, spec, x0, goal, obs, u_prev, mpc_state,
                     dt, cfg,
                 )
-            except (jax.errors.ConcretizationTypeError, TypeError):
-                pass  # traced spec: fall through to the XLA path
+            _log_fused_fallback(
+                "robot spec contains traced values (the kernel closes over "
+                "spec scalars) — using the XLA path"
+            )
     return solve(
         model_name, spec, x0, goal, obs, u_prev, mpc_state, dt, cfg
+    )
+
+
+def _log_fused_fallback(reason: str) -> None:
+    import logging
+
+    logging.getLogger("safe_control_tpu.solvers").warning(
+        "fused-kernel dispatch fell back to the XLA path: %s", reason
     )
 
 

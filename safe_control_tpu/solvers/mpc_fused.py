@@ -78,7 +78,13 @@ def fused_available(model_name: str, cfg: mpc_mod.MPCConfig) -> bool:
         return False
     if cfg.horizon * model.N_CONTROLS > 64:
         return False
-    return not cfg.optimal_decay and cfg.polish_iters == 0
+    # newton_f64 is excluded: the f32 kernel would silently drop the
+    # explicitly requested f64 Newton refinement.
+    return (
+        not cfg.optimal_decay
+        and cfg.polish_iters == 0
+        and not cfg.newton_f64
+    )
 
 
 def _irange(M: int):
@@ -322,7 +328,12 @@ def _eval_rewritten(jaxpr, consts, *args, lookup=None):
             try:
                 if np.ndim(c) > 0:
                     out.append(lookup.get(_const_key(c), c))
-                    continue
+                else:
+                    # concrete scalar: pass as a NumPy value so it embeds
+                    # as a jaxpr literal — a 0-dim jax.Array would count as
+                    # a captured constant of the enclosing Pallas kernel
+                    out.append(np.asarray(c)[()])
+                continue
             except Exception:  # traced value: leave as-is
                 pass
             out.append(c)
@@ -518,15 +529,25 @@ def _eval_rewritten(jaxpr, consts, *args, lookup=None):
 class _patched_trig:
     """Swap jnp.arctan2/arctan for Mosaic-lowerable polynomials while the
     algorithm is traced to a jaxpr (the SAME jaxpr runs in interpreter
-    tests and on TPU, so numerics are identical across backends)."""
+    tests and on TPU, so numerics are identical across backends).
+
+    The patch mutates the global jnp module, so a concurrent trace in
+    another thread would silently pick up the polynomial approximation — a
+    process-wide lock serializes patched sections against each other (the
+    patched region is a one-time trace per lru-cached configuration, so
+    contention is nil)."""
+
+    _lock = __import__("threading").Lock()
 
     def __enter__(self):
+        self._lock.acquire()
         self._orig2, self._orig1 = jnp.arctan2, jnp.arctan
         jnp.arctan2, jnp.arctan = mosaic_atan2, _mosaic_atan
         return self
 
     def __exit__(self, *exc):
         jnp.arctan2, jnp.arctan = self._orig2, self._orig1
+        self._lock.release()
         return False
 
 
@@ -810,7 +831,23 @@ def _make_algorithm(model_name, spec_f, dt, cfg, dtype):
 
 @functools.lru_cache(maxsize=32)
 def _get_solver(model_name, spec_leaves, dt, cfg, dtype_name, interpret):
-    """Compile-cached batched solver for one static configuration."""
+    """Compile-cached batched solver for one static configuration.
+
+    The whole builder runs under ``jax.ensure_compile_time_eval()``: on
+    JAX 0.9 constants materialized inside an enclosing ``jax.jit`` trace
+    are lifted to tracers, which would make every ``np.asarray`` on weights
+    / bounds / jaxpr consts below throw ``TracerArrayConversionError`` when
+    the caller (e.g. a jitted ``LocalTrackingController`` step) first
+    reaches this cache miss.  Under the context manager those constants
+    stay concrete regardless of the trace the builder happens to run in.
+    """
+    with jax.ensure_compile_time_eval():
+        return _build_solver(
+            model_name, spec_leaves, dt, cfg, dtype_name, interpret
+        )
+
+
+def _build_solver(model_name, spec_leaves, dt, cfg, dtype_name, interpret):
     dtype = jnp.dtype(dtype_name)
     # rebuild the concrete spec from its hashable leaves
     from safe_control_tpu.core import spec as spec_mod
@@ -900,8 +937,11 @@ def _get_solver(model_name, spec_leaves, dt, cfg, dtype_name, interpret):
             v = _reshape_safe(ref[...], shape) if shape else ref[0, 0]
             cu.append((v > 0.5) if was_bool else v)
         lookup = {key: cu[idx] for key, (idx, _) in uniq.items()}
+        # scalar consts embed as NumPy literals (0-dim jax.Arrays would be
+        # rejected as captured Pallas kernel constants)
         cvals = [
-            lookup.get(_const_key(c), c) if np.ndim(c) else c
+            lookup.get(_const_key(c), c) if np.ndim(c)
+            else np.asarray(c)[()]
             for c in closed.consts
         ]
         # disable_jit: ops RE-EMITTED by the rewrite rules (jnp.remainder
@@ -948,6 +988,14 @@ def _get_solver(model_name, spec_leaves, dt, cfg, dtype_name, interpret):
     return jax.jit(solve_batch)
 
 
+# Trace-time dispatch counter: incremented every time a fused solve is
+# actually BUILT INTO a computation (once per trace; retraces bump it
+# again).  Tests drive the jitted public wrapper and assert this moved —
+# the regression it guards is a silent fall-through to the XLA path in
+# ``mpc_cbf.solve_dispatch`` (round-4's headline bug).
+DISPATCH_COUNT = 0
+
+
 def solve_fused_batch(
     model_name, spec, xs, goals, obs, u_prevs, U_warm, dt,
     cfg: mpc_mod.MPCConfig, interpret: bool | None = None,
@@ -957,6 +1005,8 @@ def solve_fused_batch(
     ``spec`` must be concrete (floats / unjitted arrays) — the kernel
     closes over its values as scalars.  Raises if called with tracers.
     """
+    global DISPATCH_COUNT
+    DISPATCH_COUNT += 1
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     spec_f = _spec_statics(spec)

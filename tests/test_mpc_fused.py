@@ -106,6 +106,40 @@ def test_fused_generic_matches_xla_vtol():
         np.asarray(res.viol), np.asarray(viol_ref), atol=1e-2)
 
 
+def test_fused_engaged_through_wrapper():
+    """The ADVERTISED route: ``use_fused_kernel`` in robot_spec through the
+    jitted ``LocalTrackingController`` step must actually RUN the fused
+    kernel.  Round 4 shipped a silent fallback here — the kernel builder
+    threw ``TracerArrayConversionError`` (a TypeError subclass) under jit
+    and ``solve_dispatch``'s blanket except swallowed it, so the flag
+    always degraded to the XLA path.  ``mpc_fused.DISPATCH_COUNT`` is a
+    trace-time counter: it moves iff the fused solve was built into the
+    compiled step."""
+    from safe_control_tpu.sim.controller import LocalTrackingController
+
+    robot_spec = {
+        "model": "DynamicUnicycle2D",
+        "use_fused_kernel": True,
+        "mpc_horizon": 4,
+        "mpc_rti": True,  # small budget keeps the interpret compile cheap
+        "radius": 0.25,
+    }
+    ctrl = LocalTrackingController(
+        np.array([0.0, 0.0, 0.0, 0.0]), robot_spec,
+        controller_type={"pos": "mpc_cbf"}, dt=0.05,
+    )
+    ctrl.set_waypoints([[3.0, 0.5]])
+    before = mpc_fused.DISPATCH_COUNT
+    for _ in range(3):
+        ret = ctrl.control_step()
+        assert ret in (0, -1)
+        assert np.all(np.isfinite(ctrl.u_pos))
+    assert mpc_fused.DISPATCH_COUNT > before, (
+        "use_fused_kernel=True fell back to the XLA path through the "
+        "public wrapper"
+    )
+
+
 @pytest.mark.slow
 def test_fused_generic_closed_loop_drive():
     """Scenario-level: the generic kernel IS the controller for a full
