@@ -93,12 +93,14 @@ def ct_cbf_row(model: ModuleType, model_name: str, x, obs, spec, dt, mode="cbf")
     return a_row, b
 
 
-def ct_cbf_rows_multi(model: ModuleType, x, obs, spec):
+def ct_cbf_rows_multi(model: ModuleType, x, obs, spec, dt, mode="cbf"):
     """Multi-row r=1 CBF constraint block for one obstacle.
 
     For models exposing ``ct_multi_h(x, obs, spec) -> (C,)`` (Manipulator2D's
     per-link sampled circles, manipulator2D.py:186-224): each component h_j
-    yields a row A_j = grad h_j . g, b_j = grad h_j . f + alpha h_j.
+    yields a row A_j = grad h_j . g, b_j = grad h_j . f + alpha h_j, or the
+    'hard' h(x_next) >= 0 form b_j = h_j/dt + grad h_j . f
+    (cbf_qp.py:136-147).
     """
     h_fn = lambda xx: model.ct_multi_h(xx, obs, spec)
     h = h_fn(x)
@@ -106,7 +108,10 @@ def ct_cbf_rows_multi(model: ModuleType, x, obs, spec):
     f_x = model.f(x, spec)
     g_x = model.g(x, spec)
     a_rows = Jh @ g_x
-    b = Jh @ f_x + spec.cbf_alpha * h
+    if mode == "hard":
+        b = h / dt + Jh @ f_x
+    else:
+        b = Jh @ f_x + spec.cbf_alpha * h
     return a_rows, b
 
 

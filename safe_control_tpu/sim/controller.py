@@ -165,6 +165,7 @@ class LocalTrackingController:
             enable_rotation=enable_rotation,
             use_sensor=use_sensor,
             detection_mode=detection,
+            cbf_mode=str(robot_spec.get("cbf_mode", "cbf")),
             reached_threshold=float(
                 robot_spec.get("reached_threshold", 0.3)
             ),

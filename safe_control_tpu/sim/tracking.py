@@ -84,6 +84,11 @@ class TrackerConfig:
     enable_rotation: bool = True
     use_sensor: bool = False  # 'sensor': 'rgbd' analog
     detection_mode: str = "fov"  # 'fov' | 'ray' (utils/detection.py:135-140)
+    # CBF-QP constraint form (cbf_qp.py:120): 'cbf' = Lie-derivative rows
+    # with the class-K alpha terms; 'hard' = the reference's h(x_next) >= 0
+    # alternative (Taylor rows divided by dt / dt^2 — an "infinite alpha"
+    # one-step invariance constraint, cbf_qp.py:137-177).
+    cbf_mode: str = "cbf"
     mpc: mpc_mod.MPCConfig = mpc_mod.MPCConfig()
     qp_iters: int = 1600
     # Occupancy-footprint visibility checking (tracking.py:652-668): when a
@@ -127,6 +132,8 @@ class TrackerConfig:
             raise ValueError(
                 f"Unsupported unknown_obs_detection mode: {self.detection_mode}"
             )
+        if self.cbf_mode not in ("cbf", "hard"):
+            raise ValueError(f"Unsupported cbf_mode: {self.cbf_mode}")
         needs_grid = self.att_controller in (
             "visibility_raycast", "visibility_area", "gatekeeper",
         ) or self.detection_mode == "ray"
@@ -388,7 +395,8 @@ def step(
     mpc_xs = None  # (N+1, n) prediction, published for the yaw gatekeeper
     if cfg.pos_controller == "cbf_qp":
         qp = cbf_qp_mod.solve(
-            cfg.model_name, spec, x, u_ref, obs_sel, cfg.dt, iters=cfg.qp_iters
+            cfg.model_name, spec, x, u_ref, obs_sel, cfg.dt,
+            mode=cfg.cbf_mode, iters=cfg.qp_iters,
         )
         u, feasible = qp.u, qp.feasible
         mpc_state = state.mpc

@@ -43,7 +43,7 @@ def _assemble(model, model_name, spec, x, u_ref, obs, dt, mode):
         from safe_control_tpu.barriers.hocbf import ct_cbf_rows_multi
 
         a_blocks, b_blocks = jax.vmap(
-            lambda o: ct_cbf_rows_multi(model, x, o, spec)
+            lambda o: ct_cbf_rows_multi(model, x, o, spec, dt, mode)
         )(obs)  # (K, C, m), (K, C)
         dummy = jnp.repeat(is_dummy(obs), a_blocks.shape[1])
         a_rows = a_blocks.reshape(-1, m)
