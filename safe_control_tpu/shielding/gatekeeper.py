@@ -230,7 +230,15 @@ def step(
         rem_coll = jax.vmap(
             lambda j: collision_fn(state.committed_x[rem_idx[j]], j)
         )(jnp.arange(L))
-        stale = event & ~found & jnp.any(rem_coll)
+        # Only the rows the commitment actually CONTAINS count: state row
+        # k is reached iff k <= valid u-row count, and rows beyond that are
+        # padded copies of the terminal state — a far-future predicted
+        # conflict with the parked terminus must not spuriously trigger
+        # stale (it would install an unvalidated brake commitment for a
+        # conflict the robot never drives into).
+        valid_count = jnp.sum(state.committed_valid.astype(jnp.int32))
+        in_commit = state.time_idx + jnp.arange(L) <= valid_count
+        stale = event & ~found & jnp.any(rem_coll & in_commit)
     else:
         stale = jnp.asarray(False)
 

@@ -224,3 +224,75 @@ def test_sharded_shielded_fleet_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
     for a, b in zip(s_ref.backup_steps, s_shard.backup_steps):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_revalidate_ignores_padded_terminal_rows():
+    """The stale re-check must scan only rows the commitment CONTAINS:
+    a predicted conflict with the PADDED terminal state (beyond
+    committed_valid) must not trigger the brake fallback, while a conflict
+    within the valid rows must (advisor r4 finding on gatekeeper.py:230)."""
+    import jax.numpy as jnp
+
+    from safe_control_tpu.core.spec import DOUBLE_INTEGRATOR_2D, make_spec
+    from safe_control_tpu.shielding import gatekeeper as gk
+
+    spec = make_spec(DOUBLE_INTEGRATOR_2D, v_max=1.0, a_max=1.0)
+    cfg = gk.GatekeeperConfig(
+        model_name=DOUBLE_INTEGRATOR_2D, dt=0.1, nominal_steps=4,
+        backup_steps=4, event_offset_steps=2, discount_steps=2,
+        revalidate=True,
+    )
+    L = cfg.committed_len
+    x = jnp.array([0.0, 0.0, 1.0, 0.0], jnp.float32)  # moving +x
+
+    def nominal_policy(xx):
+        return jnp.array([1.0, 0.0])  # accelerate into the flagged band
+
+    def backup_policy(xx):
+        a = -xx[2:4] / 0.1
+        m = jnp.linalg.norm(a)
+        return a * jnp.where(m > 1.0, 1.0 / jnp.maximum(m, 1e-9), 1.0)
+
+    def make_state(valid_rows, terminus):
+        cx = jnp.zeros((L, 4), jnp.float32).at[:, 0].set(-1.0)
+        # valid rows sit at x=-1 (safe); padded rows at the crafted terminus
+        cx = cx.at[valid_rows + 1:, :2].set(jnp.asarray(terminus))
+        return gk.GatekeeperState(
+            committed_x=cx,
+            committed_u=jnp.zeros((L - 1, 2), jnp.float32),
+            committed_valid=jnp.arange(L - 1) < valid_rows,
+            time_idx=jnp.asarray(0, jnp.int32),
+            next_event_idx=jnp.asarray(0, jnp.int32),  # event fires now
+            nominal_steps_committed=jnp.asarray(2, jnp.int32),
+            initialized=jnp.asarray(True),
+        )
+
+    def coll_band(xx, t_idx):
+        # every candidate's rollout (x in (0.05, 8)) collides -> ~found;
+        # the crafted terminus at (9, 9) is also flagged
+        in_band = (xx[0] > 0.05) & (xx[0] < 8.0)
+        at_term = jnp.linalg.norm(xx[:2] - jnp.array([9.0, 9.0])) < 0.5
+        return in_band | at_term
+
+    # (a) conflict ONLY at the padded terminus -> not stale: the previous
+    # committed controls must survive the event
+    st = make_state(valid_rows=4, terminus=(9.0, 9.0))
+    out = gk.step(cfg, spec, st, x, backup_policy, coll_band,
+                  nominal_policy=nominal_policy)
+    assert not bool(out.candidate_found)
+    assert int(out.state.nominal_steps_committed) == 2  # untouched
+    np.testing.assert_array_equal(
+        np.asarray(out.state.committed_u), np.asarray(st.committed_u)
+    )
+
+    # (b) conflict within the VALID rows -> stale: fall to the brake
+    # commitment (nominal_steps_committed resets, time restarts)
+    st_bad = make_state(valid_rows=4, terminus=(9.0, 9.0))
+    st_bad = st_bad._replace(
+        committed_x=st_bad.committed_x.at[2, :2].set(jnp.array([1.0, 0.0]))
+    )
+    out_b = gk.step(cfg, spec, st_bad, x, backup_policy, coll_band,
+                    nominal_policy=nominal_policy)
+    assert not bool(out_b.candidate_found)
+    assert int(out_b.state.nominal_steps_committed) == 0  # brake fallback
+    assert int(out_b.state.time_idx) == 1  # reset to 0, then advanced
