@@ -232,6 +232,142 @@ def bench_fused_du_kernel(batch=4096, reps=5):
     )
 
 
+def bench_fused_generic(reps=40, chain=25):
+    """Generic fused Pallas kernel (solvers/mpc_fused.py) LATENCY rows at
+    supported M<=64 configs, vs the XLA path at the identical budget, plus
+    a full-geometry numerics regression check on real hardware.
+
+    Two timings per config:
+    - ``chained_us_per_solve``: ``chain`` solves warm-started through each
+      other inside ONE jitted call — the on-device per-solve latency with
+      the ~25 ms tunnel round trip amortized out.  This is the number that
+      decides which backend a latency-critical single-robot loop should
+      use.
+    - ``call_ms``: one dispatch per call (includes the tunnel RTT) — what a
+      remote host-side loop actually observes.
+
+    ``max_dev_vs_xla_u``: first-control deviation over a 32-problem batch
+    at the full shipped budget — the per-round shipped-geometry regression
+    gate for the generic kernel (the DU lane-tiled kernel has its own in
+    ``bench_fused_du_kernel``).  A deviation above 5e-3 is recorded as a
+    REGRESSION string so the round artifact flags it loudly.
+    """
+    import os
+
+    if os.environ.get("SAFE_CONTROL_BENCH_KERNEL") == "0":
+        return "skipped (SAFE_CONTROL_BENCH_KERNEL=0)"
+    import jax
+    import jax.numpy as jnp
+
+    from safe_control_tpu.core.spec import (
+        DYNAMIC_UNICYCLE_2D, QUAD_3D, make_spec,
+    )
+    from safe_control_tpu.core.types import pad_obstacles
+    from safe_control_tpu.solvers import mpc_cbf, mpc_fused
+
+    cases = {}
+    spec_du = make_spec(DYNAMIC_UNICYCLE_2D, a_max=1.0, w_max=0.5)
+    cases["du_n8"] = dict(
+        model=DYNAMIC_UNICYCLE_2D, spec=spec_du,
+        cfg=mpc_cbf.MPCConfig(horizon=8, num_obs=5),
+        x0=jnp.array([0.0, 0.0, 0.3, 0.5], jnp.float32),
+        goal=jnp.array([6.0, 1.2, 0.0, 0.0], jnp.float32),
+        obs=pad_obstacles(jnp.asarray(
+            [[3.0, 0.3, 0.45, 0, 0, 0, 0]], jnp.float32), 5),
+    )
+    spec_q3 = make_spec(QUAD_3D)
+    x0_q3 = np.zeros(12, np.float32)
+    x0_q3[2] = 5.0
+    goal_q3 = np.zeros(12, np.float32)
+    goal_q3[:3] = [6.0, 2.0, 5.0]
+    cases["quad3d_n10"] = dict(
+        model=QUAD_3D, spec=spec_q3,
+        cfg=mpc_cbf.MPCConfig(horizon=10, num_obs=5),
+        x0=jnp.asarray(x0_q3), goal=jnp.asarray(goal_q3),
+        obs=pad_obstacles(jnp.asarray(
+            [[3.0, 1.0, 0.5, 0, 0, 0, 0]], jnp.float32), 5),
+    )
+
+    out = {}
+    for name, c in cases.items():
+        try:
+            model_name, spec, cfg = c["model"], c["spec"], c["cfg"]
+            assert mpc_fused.fused_available(model_name, cfg), name
+            st0 = mpc_cbf.init_state(model_name, cfg)
+            m = st0.U.shape[1]
+            u_prev = jnp.zeros((m,), jnp.float32)
+            row = {}
+            for label, fused in (("fused", True), ("xla", False)):
+                cfg_l = cfg._replace(use_fused_kernel=fused)
+
+                def one(st, _cfg=cfg_l):
+                    return mpc_cbf.solve_dispatch(
+                        model_name, spec, c["x0"], c["goal"], c["obs"],
+                        u_prev, st, 0.05, _cfg,
+                    ).state
+
+                def chained(st, _one=one):
+                    return jax.lax.fori_loop(
+                        0, chain, lambda _, s: _one(s), st)
+
+                single = jax.jit(one)
+                many = jax.jit(chained)
+                t0 = time.perf_counter()
+                st = single(st0)
+                _ = _fetch(st.U[:1])
+                compile_s = round(time.perf_counter() - t0, 1)
+                ts = []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    st = single(st)
+                    _ = _fetch(st.U[:1, :1])
+                    ts.append(time.perf_counter() - t0)
+                st = many(st0)
+                _ = _fetch(st.U[:1])
+                t0 = time.perf_counter()
+                for _ in range(4):
+                    st = many(st)
+                _ = _fetch(st.U[:1, :1])
+                per_solve = (time.perf_counter() - t0) / (4 * chain)
+                row[label] = dict(
+                    call_ms=round(float(np.median(ts)) * 1e3, 3),
+                    chained_us_per_solve=round(per_solve * 1e6, 1),
+                    compile_seconds=compile_s,
+                )
+            row["speedup_on_device"] = round(
+                row["xla"]["chained_us_per_solve"]
+                / row["fused"]["chained_us_per_solve"], 2,
+            )
+            # full-budget 32-problem parity (shipped-geometry regression)
+            B = 32
+            rng = np.random.default_rng(0)
+            xs = jnp.tile(c["x0"][None], (B, 1)) + jnp.asarray(
+                rng.uniform(-0.3, 0.3, (B, c["x0"].shape[0])), jnp.float32)
+            goals = jnp.tile(c["goal"][None], (B, 1))
+            obs_b = jnp.tile(c["obs"][None], (B, 1, 1))
+            ups = jnp.zeros((B, m), jnp.float32)
+            Uw = jnp.zeros((B,) + st0.U.shape, jnp.float32)
+            res_f = mpc_fused.solve_fused_batch(
+                model_name, spec, xs, goals, obs_b, ups, Uw, 0.05, cfg)
+            lam = jnp.tile(st0.lam[None], (B, 1))
+
+            def one_x(x, g, ob, up, U, lm):
+                return mpc_cbf.solve(
+                    model_name, spec, x, g, ob, up,
+                    mpc_cbf.MPCState(U=U, lam=lm), 0.05, cfg).u
+
+            u_x = jax.jit(jax.vmap(one_x))(xs, goals, obs_b, ups, Uw, lam)
+            dev = float(np.max(np.abs(_fetch(res_f.u) - _fetch(u_x))))
+            row["max_dev_vs_xla_u"] = (
+                round(dev, 6) if dev < 5e-3
+                else f"REGRESSION: dev={dev:.2e} (gate 5e-3)"
+            )
+            out[name] = row
+        except Exception as e:  # record per-case, keep the other rows
+            out[name] = f"error: {type(e).__name__}: {e}"
+    return out
+
+
 def bench_per_step_latency():
     """Single-robot control_step() wall time through the public wrapper.
 
@@ -422,6 +558,7 @@ def main() -> None:
         ("mpcc_n30_solves_per_sec", bench_mpcc_n30),
         ("per_step_latency_ms", bench_per_step_latency),
         ("fused_du_kernel_solves_per_sec", bench_fused_du_kernel),
+        ("fused_generic_latency", bench_fused_generic),
         ("fleet_shielded_4096", bench_fleet_shielded),
     ):
         try:

@@ -174,3 +174,32 @@ def test_fused_generic_closed_loop_drive():
             break
     assert reached
     assert min_clear > 0.0
+
+
+def test_fused_generic_matches_xla_quad3d():
+    """Kernel-template coverage for a THIRD model family: Quad3D's RK4
+    step (4 chained f evals per stage) and 12-state/4-control geometry
+    through the same generic kernel — interpreter parity at a small
+    horizon (the shipped M=40 N=10 config is timed and regression-checked
+    on real hardware by bench.py's fused_generic_latency row)."""
+    from safe_control_tpu.core.spec import QUAD_3D
+
+    spec = make_spec(QUAD_3D)
+    cfg = mpc_cbf.MPCConfig(horizon=2, num_obs=5, outer_iters=1,
+                            newton_iters=1)
+    x0 = np.zeros(12, np.float32)
+    x0[2] = 5.0
+    goal = np.zeros(12, np.float32)
+    goal[:3] = [6.0, 2.0, 5.0]
+    obs = pad_obstacles(
+        jnp.asarray([[3.0, 1.0, 0.5, 0, 0, 0, 0]], jnp.float32), 5)
+    res = mpc_fused.solve_fused_batch(
+        QUAD_3D, spec, jnp.asarray(x0)[None], jnp.asarray(goal)[None],
+        obs[None], jnp.zeros((1, 4), jnp.float32),
+        jnp.zeros((1, 2, 4), jnp.float32), 0.05, cfg, interpret=True)
+    st0 = mpc_cbf.init_state(QUAD_3D, cfg)
+    ref = mpc_cbf.solve(QUAD_3D, spec, jnp.asarray(x0), jnp.asarray(goal),
+                        obs, jnp.zeros(4), st0, 0.05, cfg)
+    assert np.max(np.abs(np.asarray(res.u[0]) - np.asarray(ref.u))) < 1e-5
+    np.testing.assert_allclose(
+        float(res.viol[0]), float(ref.viol), atol=1e-5)
