@@ -418,7 +418,7 @@ def test_gatekeeper_att_decision_parity():
     vel = np.array([1.0, 0.0])
     yaw = 2.0  # facing away: the critical point starts in range but unseen
     dec_repo, dec_np, rate_dev = [], [], []
-    for k in range(60):
+    for k in range(48):
         ptraj = pos[None, :] + np.arange(T + 1)[:, None] * DT * vel[None, :]
         vtraj = np.tile(vel, (T + 1, 1))
         u_np, info_np = model_np.step(ptraj, vtraj, yaw)

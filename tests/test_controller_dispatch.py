@@ -35,7 +35,11 @@ def test_optimal_decay_cbf_qp_tracks_goal():
         controller_type={"pos": "optimal_decay_cbf_qp"}, dt=0.05, env=_env(),
     )
     c.set_waypoints([[9.0, 6.0]])
-    rets = [c.control_step() for _ in range(500)]
+    rets = []
+    for _ in range(500):
+        rets.append(c.control_step())
+        if rets[-1] == tracking.RET_DONE:
+            break
     assert tracking.RET_INFEASIBLE not in rets
     assert tracking.RET_DONE in rets, np.asarray(c.robot_state)
 
@@ -49,7 +53,11 @@ def test_optimal_decay_mpc_cbf_tracks_goal():
     )
     assert c.cfg.mpc.optimal_decay
     c.set_waypoints([[9.0, 6.0]])
-    rets = [c.control_step() for _ in range(500)]
+    rets = []
+    for _ in range(500):
+        rets.append(c.control_step())
+        if rets[-1] == tracking.RET_DONE:
+            break
     assert tracking.RET_INFEASIBLE not in rets
     assert tracking.RET_DONE in rets, np.asarray(c.robot_state)
 

@@ -36,7 +36,7 @@ def _spec(mu=1.0):
     )
 
 
-def _run(algo, backup, puddles=(), mu=1.0, tf=10.0, moving=True):
+def _run(algo, backup, puddles=(), mu=1.0, tf=8.0, moving=True):
     spec = _spec(mu)
     env = DriftingEnv("straight", track_width=LANE_W * N_LANES,
                       track_length=TRACK_LEN, num_lanes=N_LANES)
@@ -89,7 +89,9 @@ def test_high_friction_other_algos_run(algo):
 def test_stop_backup_no_collision():
     """'--backup stop' axis: the stopping backup must brake before the ego-
     lane obstacle (expected_collision=False, test_drift.py:733-737)."""
-    r = _run("gatekeeper", "stop", moving=False, tf=12.0)
+    # 9 s: braking completes by ~7 s (obstacle at x=60, backup
+    # engages ~x=40); the trailing seconds added nothing
+    r = _run("gatekeeper", "stop", moving=False, tf=9.0)
     assert not r["collision"], f"collision at {r['x_final'][:2]}"
     # the car must actually have slowed (the backup engaged at some point)
     assert r["backup_steps"] > 0 or r["x_final"][5] < 10.0
@@ -101,8 +103,9 @@ def test_puddle_surprise_negative_case():
     friction model — the deliberate negative test (expected_collision=True,
     test_drift.py:684-689).  The harsher mu=0.05 core is kept because this
     stack survives the reference's mu=0.25 (documented delta)."""
+    # 6 s: the puddle collision lands ~3 s in (x=28 at 10 m/s)
     r = _run("gatekeeper", "lane_change", puddles=[(28.0, None, 10.0, 0.05)],
-             tf=12.0)
+             tf=6.0)
     assert r["collision"], (
         f"puddle_surprise unexpectedly survived: {r['x_final'][:2]}"
     )

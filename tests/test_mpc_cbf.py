@@ -188,15 +188,12 @@ def test_batched_solve_consistency():
     xs = jnp.stack(
         [jnp.array([0.0, 0.0, 0.0, 0.5]), jnp.array([0.2, 0.3, 0.1, 0.4])]
     )
-    batch = jax.vmap(
-        lambda x: mpc_cbf.solve(
-            DYNAMIC_UNICYCLE_2D, SPEC, x, goal, obs, u_prev, st, DT, CFG
-        ).u
-    )(xs)
+    solve_one = jax.jit(lambda x: mpc_cbf.solve(
+        DYNAMIC_UNICYCLE_2D, SPEC, x, goal, obs, u_prev, st, DT, CFG
+    ).u)
+    batch = jax.jit(jax.vmap(solve_one))(xs)
     for i in range(2):
-        single = mpc_cbf.solve(
-            DYNAMIC_UNICYCLE_2D, SPEC, xs[i], goal, obs, u_prev, st, DT, CFG
-        ).u
+        single = solve_one(xs[i])
         np.testing.assert_allclose(
             np.asarray(batch[i]), np.asarray(single), atol=2e-5
         )

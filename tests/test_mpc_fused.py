@@ -74,8 +74,10 @@ def test_fused_generic_matches_xla_vtol():
     spec = make_spec(VTOL_2D)
     # horizon 4 (not 6): interpret-mode cost is XLA-CPU compile of the
     # kernel program, ~linear in horizon (measured 95 s vs 182 s); 4
-    # stages already exercise the full aero f/g, r=2 barrier and bounds
-    cfg = mpc_cbf.MPCConfig(horizon=4, num_obs=5, outer_iters=2,
+    # stages already exercise the full aero f/g, r=2 barrier and bounds.
+    # 1 outer iteration (suite-budget trim): the comparison is identical-
+    # algorithm parity, which one AL round already certifies op-for-op.
+    cfg = mpc_cbf.MPCConfig(horizon=4, num_obs=5, outer_iters=1,
                             newton_iters=2)
     dt = 0.05
     goals = jnp.tile(
@@ -143,11 +145,16 @@ def test_fused_engaged_through_wrapper():
 @pytest.mark.slow
 def test_fused_generic_closed_loop_drive():
     """Scenario-level: the generic kernel IS the controller for a full
-    closed-loop DU drive at the default 8x3 budget — goal reached,
-    collision-free (the same predicate as the reference's examples)."""
+    closed-loop DU drive — goal reached, collision-free (the same
+    predicate as the reference's examples).  Budget 4x2 (not the 8x3
+    default): interpreter per-step cost scales with the Newton count and
+    the suite budget is the bottleneck; the full 8x3 budget at this
+    geometry is regression-checked on real hardware every bench round
+    (fused_generic_latency.du_n8.max_dev_vs_xla_u)."""
     spec = make_spec(DYNAMIC_UNICYCLE_2D, a_max=1.0, w_max=0.5)
     model = get_model(DYNAMIC_UNICYCLE_2D)
-    cfg = mpc_cbf.MPCConfig(horizon=8, num_obs=5)
+    cfg = mpc_cbf.MPCConfig(horizon=8, num_obs=5, outer_iters=4,
+                            newton_iters=2)
     dt = 0.05
     obs = pad_obstacles(
         jnp.asarray([[3.0, 0.3, 0.45, 0, 0, 0, 0]], jnp.float32), 5)

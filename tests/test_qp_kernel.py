@@ -93,7 +93,7 @@ def test_manipulator_scale_row_count():
     # Feasible-by-construction: bounds bracket A @ x_star (153 random rows in
     # R^3 would otherwise be jointly infeasible almost surely).
     rng = np.random.default_rng(7)
-    B, n, m = 6, 3, 153
+    B, n, m = 4, 3, 153  # 4 problems: interpret cost is linear in B
     M = rng.normal(size=(B, n, n))
     P = M @ M.transpose(0, 2, 1) + np.eye(n)
     q = rng.normal(size=(B, n))
@@ -108,7 +108,7 @@ def test_manipulator_scale_row_count():
     ref = jax.vmap(lambda *a: solve_qp(*a, iters=400))(P, q, A, l, u)
     got = solve_qp_batch_pallas(P, q, A, l, u, iters=400)
     ok = np.asarray(ref.prim_res < 1e-4) & np.asarray(got.prim_res < 1e-4)
-    assert ok.sum() >= 3
+    assert ok.sum() >= 2
     dx = np.max(np.abs(np.asarray(ref.x - got.x)[ok]))
     assert dx < 2e-3, dx
 
@@ -134,11 +134,15 @@ def test_manipulator_cbf_qp_pallas_backend():
         5,
     )
     obs = jnp.tile(obs_one[None], (B, 1, 1))
+    # 800 ADMM iterations (default 1600): both backends run the same
+    # count, and these well-conditioned 3-var problems converge far
+    # earlier — the interpret-mode iteration replay is the suite cost.
     r_x = cbf_qp.solve_batch(
-        MANIPULATOR_2D, spec, xs, u_refs, obs, 0.05, backend="xla"
+        MANIPULATOR_2D, spec, xs, u_refs, obs, 0.05, backend="xla", iters=800
     )
     r_p = cbf_qp.solve_batch(
-        MANIPULATOR_2D, spec, xs, u_refs, obs, 0.05, backend="pallas"
+        MANIPULATOR_2D, spec, xs, u_refs, obs, 0.05, backend="pallas",
+        iters=800
     )
     np.testing.assert_allclose(np.asarray(r_x.u), np.asarray(r_p.u), atol=2e-3)
 

@@ -107,10 +107,11 @@ def test_vtol_rti_popin_disturbance_curve():
     wps = jnp.asarray([[2.0, 10.0], [45.0, 10.0]], dtype=jnp.float32)
     POPIN = 32  # pillars appear when the vehicle is ~3 m short of them
 
+    # two-point curve (suite-budget trim: each budget costs ~70 s of CPU
+    # compile+run; the intermediate 2x3 point was measured between the two,
+    # 1.45 m, and adds no gate)
     budgets = {
         "rti-2x2": mpc_cbf.MPCConfig.rti(horizon=30, num_obs=5),
-        "2x3": mpc_cbf.MPCConfig(horizon=30, num_obs=5,
-                                 outer_iters=2, newton_iters=3),
         "8x3": mpc_cbf.MPCConfig(horizon=30, num_obs=5),
     }
     curve = {}
