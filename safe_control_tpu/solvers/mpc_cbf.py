@@ -345,7 +345,16 @@ def solve_dispatch(
     )
 
 
+_FUSED_FALLBACK_SEEN: set = set()
+
+
 def _log_fused_fallback(reason: str) -> None:
+    """Log each distinct fallback reason once per process: under jit this
+    fires at trace time anyway, but an EAGER hot loop would otherwise emit
+    the same warning every control period."""
+    if reason in _FUSED_FALLBACK_SEEN:
+        return
+    _FUSED_FALLBACK_SEEN.add(reason)
     import logging
 
     logging.getLogger("safe_control_tpu.solvers").warning(

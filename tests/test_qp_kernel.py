@@ -32,8 +32,8 @@ def _random_qps(seed, B, n, m, one_sided=3):
 @pytest.mark.slow
 def test_matches_xla_path():
     P, q, A, l, u = _random_qps(0, 8, 3, 10)
-    ref = jax.vmap(lambda *a: solve_qp(*a, iters=400))(P, q, A, l, u)
-    got = solve_qp_batch_pallas(P, q, A, l, u, iters=400)
+    ref = jax.vmap(lambda *a: solve_qp(*a, iters=300))(P, q, A, l, u)
+    got = solve_qp_batch_pallas(P, q, A, l, u, iters=300)
     # Compare only problems both paths solved (random QPs can be infeasible).
     ok = np.asarray(ref.prim_res < 1e-4) & np.asarray(got.prim_res < 1e-4)
     assert ok.sum() >= 4
@@ -105,8 +105,8 @@ def test_manipulator_scale_row_count():
     u[:, :100] = np.inf  # CBF-style one-sided rows
     to = lambda z: jnp.asarray(z, dtype=jnp.float32)
     P, q, A, l, u = to(P), to(q), to(A), to(l), to(u)
-    ref = jax.vmap(lambda *a: solve_qp(*a, iters=400))(P, q, A, l, u)
-    got = solve_qp_batch_pallas(P, q, A, l, u, iters=400)
+    ref = jax.vmap(lambda *a: solve_qp(*a, iters=300))(P, q, A, l, u)
+    got = solve_qp_batch_pallas(P, q, A, l, u, iters=300)
     ok = np.asarray(ref.prim_res < 1e-4) & np.asarray(got.prim_res < 1e-4)
     assert ok.sum() >= 2
     dx = np.max(np.abs(np.asarray(ref.x - got.x)[ok]))
@@ -138,11 +138,11 @@ def test_manipulator_cbf_qp_pallas_backend():
     # count, and these well-conditioned 3-var problems converge far
     # earlier — the interpret-mode iteration replay is the suite cost.
     r_x = cbf_qp.solve_batch(
-        MANIPULATOR_2D, spec, xs, u_refs, obs, 0.05, backend="xla", iters=800
+        MANIPULATOR_2D, spec, xs, u_refs, obs, 0.05, backend="xla", iters=600
     )
     r_p = cbf_qp.solve_batch(
         MANIPULATOR_2D, spec, xs, u_refs, obs, 0.05, backend="pallas",
-        iters=800
+        iters=600
     )
     np.testing.assert_allclose(np.asarray(r_x.u), np.asarray(r_p.u), atol=2e-3)
 

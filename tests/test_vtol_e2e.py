@@ -128,7 +128,10 @@ def test_vtol_rti_popin_disturbance_curve():
                                                  jnp.asarray(2), k)
         )
         min_pillar = np.inf
-        for t in range(120):
+        # POPIN + 55 steps cover the full avoidance maneuver (the vehicle
+        # is past the pillar line by then); the tail to the far waypoint
+        # adds wall time but no information
+        for t in range(POPIN + 55):
             out = stepf(st, known_full if t >= POPIN else known_none)
             st = out.state
             x = np.asarray(st.x)
@@ -139,7 +142,7 @@ def test_vtol_rti_popin_disturbance_curve():
             if int(st.goal_idx) >= 2:
                 break
         curve[label] = float(min_pillar)
-        assert x[0] > 40.0, f"{label}: insufficient progress x={x[0]} ({curve})"
+        assert x[0] > pillar_x, f"{label}: did not pass the pillars ({curve})"
         assert min_pillar >= 0.5, f"{label}: clearance {min_pillar:.3f} ({curve})"
     # the curve itself is the recorded artifact (visible on any failure and
     # with -s); the RTI budget must not be catastrophically below accuracy
