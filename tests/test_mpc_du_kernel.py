@@ -126,6 +126,7 @@ def test_solve_batch_dispatch():
     np.testing.assert_array_equal(np.asarray(out.u), np.asarray(u_ref))
 
 
+@pytest.mark.slowslow  # per-round tier: shipped geometry checked on TPU by bench max_dev_vs_xla_u
 @pytest.mark.slow
 def test_fused_kernel_matches_xla_path(monkeypatch):
     # Reduced iteration budget: the interpreter replays every kernel op in

@@ -64,6 +64,8 @@ def test_fused_generic_matches_xla_du():
         np.asarray(res.viol), np.asarray(viol_ref), atol=1e-3)
 
 
+@pytest.mark.slowslow  # per-round tier: kernel template checked on TPU by bench fused_generic_latency
+@pytest.mark.slow
 @pytest.mark.slow  # ~75 s interpret compile; the DU variant guards the
 # fast tier's kernel coverage
 def test_fused_generic_matches_xla_vtol():

@@ -82,6 +82,7 @@ def test_non_tile_multiple_batch():
     assert dx < 1e-3
 
 
+@pytest.mark.slowslow  # per-round tier: QP kernel covered by test_matches_xla_path in the default run
 @pytest.mark.slow
 def test_manipulator_scale_row_count():
     # The Manipulator2D CBF-QP reaches ~150 rows (reference tracking.py:
@@ -113,6 +114,7 @@ def test_manipulator_scale_row_count():
     assert dx < 2e-3, dx
 
 
+@pytest.mark.slowslow  # per-round tier: QP kernel covered by test_cbf_qp_pallas_backend_matches_xla
 @pytest.mark.slow
 def test_manipulator_cbf_qp_pallas_backend():
     # End-to-end: the real Manipulator2D link-circle CBF-QP (n=3 joint
