@@ -1,6 +1,7 @@
 """Optimal-decay CBF-QP / MPC-CBF tests: pointwise feasibility via decay
 relaxation (optimal_decay_cbf_qp.py, optimal_decay_mpc_cbf.py)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -59,17 +60,17 @@ def test_od_mpc_feasible_in_tight_scene():
     up = jnp.zeros(2)
 
     cfg_plain = mpc_cbf.MPCConfig(horizon=8, num_obs=5)
-    r_plain = mpc_cbf.solve(
+    r_plain = jax.jit(lambda: mpc_cbf.solve(
         DYNAMIC_UNICYCLE_2D, SPEC, x0, goal, obs, up,
         mpc_cbf.init_state(DYNAMIC_UNICYCLE_2D, cfg_plain), DT, cfg_plain,
-    )
+    ))()
     assert float(r_plain.viol) > 0.1  # genuinely infeasible
 
     cfg_od = mpc_cbf.MPCConfig(horizon=8, num_obs=5, optimal_decay=True)
-    r_od = mpc_cbf.solve(
+    r_od = jax.jit(lambda: mpc_cbf.solve(
         DYNAMIC_UNICYCLE_2D, SPEC, x0, goal, obs, up,
         mpc_cbf.init_state(DYNAMIC_UNICYCLE_2D, cfg_od), DT, cfg_od,
-    )
+    ))()
     assert bool(r_od.feasible)
     assert float(r_od.viol) < 1e-3
     # omegas relaxed above 1 to soften the constraint

@@ -21,6 +21,29 @@ SPEC = make_spec(VTOL_2D, radius=0.6, v_max=20.0, reached_threshold=1.0)
 MODEL = get_model(VTOL_2D)
 DT = 0.05
 
+_WPS = jnp.asarray([[2.0, 10.0], [45.0, 10.0]], dtype=jnp.float32)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _tracker_stepf(mpc_cfg):
+    """ONE jitted tracker step per MPC budget, shared across the tests in
+    this file (XLA-CPU compile of the VTOL N=30 program is ~45 s; the
+    corridor and pop-in tests use identical program shapes, so per-test
+    jits paid it twice per budget).  ``known`` is an argument, not a
+    closure, so the same executable serves both the static corridor and
+    the pop-in schedule."""
+    cfg = tracking.TrackerConfig(
+        model_name=VTOL_2D, pos_controller="mpc_cbf", dt=DT, num_obs=8,
+        reached_threshold=1.0, mpc=mpc_cfg,
+    )
+    stepf = jax.jit(
+        lambda s, k: tracking.step(cfg, SPEC, s, _WPS, jnp.asarray(2), k)
+    )
+    return cfg, stepf
+
 
 def test_vtol_dynamics_hover_trim():
     """Aero sanity: at rest with rotor thrust = mg the vehicle hovers.
@@ -61,20 +84,12 @@ def test_vtol_mpc_corridor(mpc_cfg):
     known = pad_obstacles(
         jnp.asarray(np.hstack([np.array(rows), np.zeros((len(rows), 4))])), 8
     )
-    wps = jnp.asarray([[2.0, 10.0], [45.0, 10.0]], dtype=jnp.float32)
-    cfg = tracking.TrackerConfig(
-        model_name=VTOL_2D, pos_controller="mpc_cbf", dt=DT, num_obs=8,
-        reached_threshold=1.0,
-        mpc=mpc_cfg,
-    )
+    cfg, stepf = _tracker_stepf(mpc_cfg)
     x0 = jnp.array([2.0, 10.0, 0.0, 20.0, 0.0, 0.0])
     st = tracking.init_state(cfg, SPEC, x0, 0.0, first_goal=np.array([2.0, 10.0]))
-    stepf = jax.jit(
-        lambda s: tracking.step(cfg, SPEC, s, wps, jnp.asarray(2), known)
-    )
     min_pillar = np.inf
     for t in range(120):  # 6 s
-        out = stepf(st)
+        out = stepf(st, known)
         st = out.state
         x = np.asarray(st.x)
         assert x[1] > 0.0, f"ground strike at t={t * DT}"
@@ -104,7 +119,6 @@ def test_vtol_rti_popin_disturbance_curve():
         jnp.asarray(np.hstack([np.array(rows), np.zeros((len(rows), 4))])), 8
     )
     known_none = pad_obstacles(jnp.zeros((0, 7)), 8)
-    wps = jnp.asarray([[2.0, 10.0], [45.0, 10.0]], dtype=jnp.float32)
     POPIN = 32  # pillars appear when the vehicle is ~3 m short of them
 
     # two-point curve (suite-budget trim: each budget costs ~70 s of CPU
@@ -116,17 +130,10 @@ def test_vtol_rti_popin_disturbance_curve():
     }
     curve = {}
     for label, mcfg in budgets.items():
-        cfg = tracking.TrackerConfig(
-            model_name=VTOL_2D, pos_controller="mpc_cbf", dt=DT, num_obs=8,
-            reached_threshold=1.0, mpc=mcfg,
-        )
+        cfg, stepf = _tracker_stepf(mcfg)
         x0 = jnp.array([2.0, 10.0, 0.0, 20.0, 0.0, 0.0])
         st = tracking.init_state(cfg, SPEC, x0, 0.0,
                                  first_goal=np.array([2.0, 10.0]))
-        stepf = jax.jit(
-            lambda s, k, _cfg=cfg: tracking.step(_cfg, SPEC, s, wps,
-                                                 jnp.asarray(2), k)
-        )
         min_pillar = np.inf
         # POPIN + 55 steps cover the full avoidance maneuver (the vehicle
         # is past the pillar line by then); the tail to the far waypoint
