@@ -109,20 +109,24 @@ class DriftingCarSimulator:
         radius = float(spec.radius)
         margin = cfg.safety_margin
 
-        def collision_fn(xx, t_idx):
+        def collision_fn(xx, t_idx, cars):
             # boundary + time-synchronized obstacle-car check
-            # (gatekeeper.py:380-527 analog over DriftingEnv data).
+            # (gatekeeper.py:380-527 analog over DriftingEnv data).  The
+            # obstacle-car array is a TRACED argument, not a baked-in
+            # constant: moving/changing obstacles re-run the same compiled
+            # program (and scenario suites share one compile per config).
             t = t_idx * dt
-            return env.check_collision(xx[:2], radius) | env.check_obstacle_collision(
-                xx[:2], radius + margin, t
-            )
+            cx = cars[:, 0] + cars[:, 3] * t
+            cy = cars[:, 1] + cars[:, 4] * t
+            d = jnp.sqrt((xx[0] - cx) ** 2 + (xx[1] - cy) ** 2)
+            hit = jnp.any((d < radius + margin + cars[:, 5]) & (cars[:, 5] > 0))
+            return env.check_collision(xx[:2], radius) | hit
 
-        def h_safety(xx, t):
+        def h_safety(xx, t, cars):
             # Track halfspaces + obstacle cars at time t
             # (backup_cbf_qp.py:390-446, drift branch).
             half = env.track_width / 2.0
             h = jnp.minimum(half - xx[1] - radius, xx[1] + half - radius)
-            cars = env.obstacle_car_states(0.0)
             cx = cars[:, 0] + cars[:, 3] * t
             cy = cars[:, 1] + cars[:, 4] * t
             d = jnp.sqrt((xx[0] - cx) ** 2 + (xx[1] - cy) ** 2)
@@ -131,10 +135,10 @@ class DriftingCarSimulator:
             )
             return jnp.minimum(h, jnp.min(h_cars))
 
-        def h_terminal(xx):
+        def h_terminal(xx, cars):
             # Terminal invariance: safe AND (nearly stopped or in the backup
             # lane) — the backup set the policy converges to.
-            base = h_safety(xx, cfg.backup_steps * dt)
+            base = h_safety(xx, cfg.backup_steps * dt, cars)
             if cfg.backup == "stop":
                 return jnp.minimum(base, 1.0 - xx[5] / 5.0)
             return jnp.minimum(base, 1.0 - jnp.abs(xx[1] - backup_target_y))
@@ -157,13 +161,13 @@ class DriftingCarSimulator:
         )
         n_slice = cfg.nominal_steps
 
-        def jit_step(mstate, gstate, x, u_prev, mu_plant, t_idx):
+        def jit_step(mstate, gstate, x, u_prev, mu_plant, t_idx, cars):
             plant = spec.replace(mu=mu_plant)
             backup_policy = backup_policy_for(plant)
             mres = mpcc.solve(spec, x, path, mstate, u_prev, dt, mpcc_cfg)
 
             def coll_at(xx, k):
-                return collision_fn(xx, t_idx + k)
+                return collision_fn(xx, t_idx + k, cars)
 
             if cfg.algo in ("gatekeeper", "mps"):
                 out = gk.step(
@@ -179,14 +183,15 @@ class DriftingCarSimulator:
                 t_now = t_idx * dt
                 res = bcbf.solve(
                     bcfg, plant, x, mres.u, backup_policy,
-                    lambda xx, tt: h_safety(xx, t_now + tt), h_terminal,
+                    lambda xx, tt: h_safety(xx, t_now + tt, cars),
+                    lambda xx: h_terminal(xx, cars),
                 )
                 u, gstate_new = res.u, gstate
                 using_backup = res.using_backup
                 h_min = res.h_min
 
             x_next = self.model.step(x, u, plant, dt)
-            collided = collision_fn(x_next, t_idx + 1)
+            collided = collision_fn(x_next, t_idx + 1, cars)
             return (
                 mres.state, gstate_new, x_next, u, using_backup, collided,
                 h_min, mres.xs[:, :2],
@@ -206,6 +211,28 @@ class DriftingCarSimulator:
         self.predictions = []  # per-step MPCC predicted (N+1, 2) positions
 
     # ------------------------------------------------------------------ API
+    def reset(self, x0, env=None) -> None:
+        """Re-arm the simulator for a fresh run (optionally with a new env
+        sharing the same track geometry).  The compiled step program is
+        kept: obstacle cars enter as runtime arguments and puddle friction
+        is a host-side lookup, so only the track constants are baked in."""
+        import jax.numpy as jnp
+
+        if env is not None:
+            assert env.track_width == self.env.track_width
+            self.env = env
+        self.x = jnp.asarray(x0, jnp.float32)
+        self.mstate = mpcc.init_state(self._mpcc_cfg)
+        self.gstate = gk.init_state(self._gcfg)
+        self.u_prev = jnp.zeros(2, jnp.float32)
+        self.t_idx = 0
+        self.stats = dict(
+            nominal_steps=0, backup_steps=0, collision=False,
+            collision_step=None, global_min_h=np.inf,
+        )
+        self.trajectory = []
+        self.predictions = []
+
     def step(self) -> bool:
         """Advance one control step; returns True if a collision occurred."""
         jnp = self._jnp
@@ -216,6 +243,7 @@ class DriftingCarSimulator:
          collided, h_min, pred) = self._step_jit(
             self.mstate, self.gstate, self.x, self.u_prev,
             jnp.asarray(mu, jnp.float32), jnp.asarray(self.t_idx, jnp.int32),
+            jnp.asarray(self.env.obstacle_cars, jnp.float32),
         )
         self.t_idx += 1
         self.trajectory.append(np.asarray(self.x))

@@ -36,6 +36,9 @@ def _spec(mu=1.0):
     )
 
 
+_SIM_CACHE = {}
+
+
 def _run(algo, backup, puddles=(), mu=1.0, tf=8.0, moving=True):
     spec = _spec(mu)
     env = DriftingEnv("straight", track_width=LANE_W * N_LANES,
@@ -59,7 +62,16 @@ def _run(algo, backup, puddles=(), mu=1.0, tf=8.0, moving=True):
                          backup_steps=60, event_offset_steps=1,
                          discount_steps=5, target_velocity=10.0)
     x0 = np.array([1.0, ego_y, 0.0, 0.0, 0.0, 10.0, 0.0, 0.0])
-    sim = DriftingCarSimulator(spec, env, path, x0, mcfg, cfg, backup_y)
+    # One compiled simulator per (algo, backup): obstacle cars are traced
+    # arguments and puddle friction is a host-side lookup, so scenarios
+    # that share a config reuse the ~50 s XLA-CPU compile via reset().
+    key = (algo, backup)
+    sim = _SIM_CACHE.get(key)
+    if sim is None:
+        sim = DriftingCarSimulator(spec, env, path, x0, mcfg, cfg, backup_y)
+        _SIM_CACHE[key] = sim
+    else:
+        sim.reset(x0, env=env)
     return sim.run(tf)
 
 
