@@ -205,13 +205,26 @@ class LocalTrackingController:
         - ``use_fused_kernel``: opt-in fused Pallas MPC kernel (single-
           robot latency path for small/medium horizons; minutes of Mosaic
           compile on first use per machine, then persistent-cached).
+        - ``mpc_scan_unroll``: rollout-scan unroll factor.  Default: full
+          unroll on accelerator backends — the wrapper is the single-robot
+          LATENCY path, where the serial N-step rollout chain is dispatch-
+          latency-bound and XLA fusion across unrolled steps is a measured
+          win (VTOL N=30 on v5e: 92 -> 69 ms per 24-Newton solve, PERF.md
+          round-5); kept at 1 on CPU, where dispatch overhead is nil and
+          unrolling only bloats compile (test-suite wall time).
         """
+        import jax as _jax
+
         kw = dict(
             horizon=horizon,
             num_obs=5,
             optimal_decay=(pos_type == "optimal_decay_mpc_cbf"),
             use_fused_kernel=bool(robot_spec.get("use_fused_kernel", False)),
         )
+        if "mpc_scan_unroll" in robot_spec:
+            kw["scan_unroll"] = int(robot_spec["mpc_scan_unroll"])
+        elif _jax.default_backend() != "cpu":
+            kw["scan_unroll"] = horizon
         base = (mpc_mod.MPCConfig.rti if robot_spec.get("mpc_rti")
                 else mpc_mod.MPCConfig)
         if "mpc_outer_iters" in robot_spec:

@@ -143,6 +143,17 @@ class MPCConfig(NamedTuple):
     # ~15 min the FIRST time on a machine (then seconds via the persistent
     # compilation cache configured in safe_control_tpu/__init__.py).
     use_fused_kernel: bool = False
+    # Dispatch-latency knob for LARGE-horizon single-robot solves: unroll
+    # factor for the rollout ``lax.scan``.  The N-step rollout is a serial
+    # dependency chain of small kernels; at batch=1 its wall time is kernel
+    # dispatch latency, not FLOPs, and XLA fuses across unrolled iterations
+    # (measured on v5e, VTOL2D N=30: see PERF.md round-5 section).  Keep 1
+    # for batched/throughput use — unrolling only bloats compile there.
+    # Numerics: unrolling changes XLA's fusion/contraction order, so f32
+    # results differ at op-ordering-noise level (~6e-4 on the VTOL N=30
+    # first control) — the same envelope class the fused-kernel parity
+    # gates bound; certification paths keep unroll=1.
+    scan_unroll: int = 1
 
 
 class MPCState(NamedTuple):
@@ -403,7 +414,7 @@ def solve(
             x1 = model.step(x, u[:m_ctrl], spec, dt)
             return x1, x1
 
-        _, xs = jax.lax.scan(step_fn, x0, U)
+        _, xs = jax.lax.scan(step_fn, x0, U, unroll=cfg.scan_unroll)
         return xs  # (N, n): x_1..x_N
 
     def residual(U):

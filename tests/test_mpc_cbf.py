@@ -197,3 +197,41 @@ def test_batched_solve_consistency():
         np.testing.assert_allclose(
             np.asarray(batch[i]), np.asarray(single), atol=2e-5
         )
+
+
+def test_scan_unroll_envelope_and_wrapper_key():
+    """``scan_unroll`` is a scheduling knob: full unroll must agree with the
+    default scan lowering to f32 op-ordering noise (<5e-3, the same envelope
+    class the fused-kernel parity gates use), and the wrapper must honor the
+    ``mpc_scan_unroll`` robot_spec key (defaulting to 1 on CPU, where
+    dispatch overhead is nil and unrolling only bloats compile — the
+    accelerator default is full unroll, measured in PERF.md round 5)."""
+    obs = pad_obstacles(jnp.array([[1.5, 0.1, 0.3, 0, 0, 0, 0]]), K)
+    goal = jnp.array([3.0, 0.0, 0.0, 0.0])
+    x0 = jnp.array([0.0, 0.0, 0.0, 0.5])
+    u_prev = jnp.zeros(2)
+    us = []
+    for unroll in (1, N):
+        cfg = CFG._replace(scan_unroll=unroll)
+        st = mpc_cbf.init_state(DYNAMIC_UNICYCLE_2D, cfg)
+        r = jax.jit(
+            lambda x, _cfg=cfg, _st=st: mpc_cbf.solve(
+                DYNAMIC_UNICYCLE_2D, SPEC, x, goal, obs, u_prev, _st, DT, _cfg
+            ).u
+        )(x0)
+        us.append(np.asarray(r))
+    assert np.max(np.abs(us[0] - us[1])) < 5e-3
+
+    from safe_control_tpu.sim.controller import LocalTrackingController
+
+    cfg = LocalTrackingController._build_mpc_cfg(
+        {"model": "DynamicUnicycle2D", "mpc_scan_unroll": 4}, N, "mpc_cbf"
+    )
+    assert cfg.scan_unroll == 4
+    cfg_default = LocalTrackingController._build_mpc_cfg(
+        {"model": "DynamicUnicycle2D"}, N, "mpc_cbf"
+    )
+    import jax as _jax
+
+    expected = 1 if _jax.default_backend() == "cpu" else N
+    assert cfg_default.scan_unroll == expected
