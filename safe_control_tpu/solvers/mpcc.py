@@ -47,6 +47,11 @@ class MPCCConfig:
     search_window: float = 40.0  # closest-point window (:78)
     search_back: float = 10.0
     al: al_gn.ALGNConfig = al_gn.ALGNConfig()
+    # Rollout-scan unroll factor — same dispatch-latency knob as
+    # MPCConfig.scan_unroll (the N-step rollout is a serial chain of small
+    # kernels; at batch=1 XLA fusion across unrolled steps is a measured
+    # win on TPU, PERF.md round 5).  Keep 1 for batched/throughput use.
+    scan_unroll: int = 1
 
 
 class Path(NamedTuple):
@@ -159,7 +164,7 @@ def solve(
             x1 = _aug_step(x, u, spec, dt)
             return x1, x1
 
-        _, xs = jax.lax.scan(body, x0, U)
+        _, xs = jax.lax.scan(body, x0, U, unroll=cfg.scan_unroll)
         return xs  # (N, 9): x_1..x_N
 
     sq = jnp.sqrt

@@ -117,3 +117,26 @@ def test_full_state_affine_consistency():
     # control only reaches delta/tau rows
     assert np.allclose(gx[:6], 0.0)
     assert gx[6, 0] == 1.0 and gx[7, 1] == 1.0
+
+
+def test_mpcc_scan_unroll_envelope():
+    """``MPCCConfig.scan_unroll`` is a scheduling knob: the unrolled rollout
+    must agree with the default scan lowering to f32 op-ordering noise
+    (same envelope class as MPCConfig.scan_unroll, tests/test_mpc_cbf.py)."""
+    from safe_control_tpu.solvers import al_gn, mpcc
+
+    spec = make_spec(DRIFTING_CAR)
+    sx = np.linspace(0.0, 80.0, 241)
+    path = mpcc.make_path(sx, np.full_like(sx, 2.0))
+    x8 = jnp.asarray(np.array([5.0, 2.0, 0, 0, 0, 10.0, 0, 0], np.float32))
+    us = []
+    # Reduced budget/horizon: the envelope property (scheduling-only knob)
+    # is budget-independent, and the full 12x4 program is compile-heavy.
+    al = al_gn.ALGNConfig(outer_iters=3, newton_iters=2)
+    for unroll in (1, 8):
+        cfg = mpcc.MPCCConfig(horizon=8, v_ref=10.0, scan_unroll=unroll, al=al)
+        st = mpcc.init_state(cfg)
+        r = jax.jit(lambda x, _cfg=cfg, _st=st: mpcc.solve(
+            spec, x, path, _st, jnp.zeros(2), 0.05, _cfg).u)(x8)
+        us.append(np.asarray(r))
+    assert np.max(np.abs(us[0] - us[1])) < 5e-3

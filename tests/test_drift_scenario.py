@@ -6,73 +6,16 @@ DriftingCarSimulator, drifting_car.py:654-752) across the reference's axes:
 (test_drift.py:699-714).  Expected-outcome matrix (test_drift.py:729-742):
 every case is collision-free except puddle_surprise, the deliberate negative
 test whose puddle breaks the planner's friction model.
-"""
 
-import math
+The ``--backup stop`` and BackupCBF axes live in
+test_drift_scenario_backup.py (xdist file-level load balance — see
+drift_scenario_common.py).
+"""
 
 import numpy as np
 import pytest
 
-from safe_control_tpu.core.spec import DRIFTING_CAR, make_spec
-from safe_control_tpu.envs.drifting_env import DriftingEnv
-from safe_control_tpu.sim.drift_sim import DriftingCarSimulator, DriftSimConfig
-from safe_control_tpu.solvers import mpcc
-
-DT = 0.05
-LANE_W, N_LANES, TRACK_LEN = 4.0, 5, 300.0
-EGO_LANE, MIDDLE_LANE, BACKUP_LANE = 1, 2, 3
-
-
-def _spec(mu=1.0):
-    # VehicleConfig (test_drift.py:96-130)
-    return make_spec(
-        DRIFTING_CAR,
-        a_cg=1.4, b_cg=1.4, wheel_base=2.8, body_length=4.5, body_width=2.0,
-        radius=1.2, mass=2500.0, izz=5000.0, cc_f=80000.0, cc_r=100000.0,
-        mu=mu, r_w=0.35, gamma_stab=0.95,
-        delta_max=math.radians(20), delta_dot_max=math.radians(25),
-        tau_max=4000.0, tau_dot_max=8000.0,
-        v_max=20.0, v_min=0.0, r_max=2.0, beta_max=math.radians(45),
-    )
-
-
-_SIM_CACHE = {}
-
-
-def _run(algo, backup, puddles=(), mu=1.0, tf=8.0, moving=True):
-    spec = _spec(mu)
-    env = DriftingEnv("straight", track_width=LANE_W * N_LANES,
-                      track_length=TRACK_LEN, num_lanes=N_LANES)
-    ego_y = env.get_lane_center(EGO_LANE)
-    backup_y = env.get_lane_center(BACKUP_LANE)
-    # reference obstacles: middle-lane mover + ego-edge slow car (:617-623)
-    if moving:
-        env.add_dynamic_obstacle_car(50.0, env.get_lane_center(MIDDLE_LANE),
-                                     0.0, 2.0, 0.0, radius=1.0)
-        env.add_dynamic_obstacle_car(35.0, 4.0, 0.0, 0.75, 0.0, radius=1.0)
-    else:
-        env.add_obstacle_car(60.0, ego_y, 0.0, radius=1.0)
-    for p in puddles:
-        env.add_puddle(p[0], ego_y if p[1] is None else p[1], p[2], p[3])
-
-    sx = np.linspace(0.0, TRACK_LEN, 601)
-    path = mpcc.make_path(sx, np.full_like(sx, ego_y))
-    mcfg = mpcc.MPCCConfig(horizon=30, v_ref=10.0)
-    cfg = DriftSimConfig(dt=DT, algo=algo, backup=backup, nominal_steps=30,
-                         backup_steps=60, event_offset_steps=1,
-                         discount_steps=5, target_velocity=10.0)
-    x0 = np.array([1.0, ego_y, 0.0, 0.0, 0.0, 10.0, 0.0, 0.0])
-    # One compiled simulator per (algo, backup): obstacle cars are traced
-    # arguments and puddle friction is a host-side lookup, so scenarios
-    # that share a config reuse the ~50 s XLA-CPU compile via reset().
-    key = (algo, backup)
-    sim = _SIM_CACHE.get(key)
-    if sim is None:
-        sim = DriftingCarSimulator(spec, env, path, x0, mcfg, cfg, backup_y)
-        _SIM_CACHE[key] = sim
-    else:
-        sim.reset(x0, env=env)
-    return sim.run(tf)
+from drift_scenario_common import _run
 
 
 @pytest.mark.slow
@@ -85,28 +28,15 @@ def test_high_friction_gatekeeper_no_collision():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("algo", ["mps", "backupcbf"])
-def test_high_friction_other_algos_run(algo):
-    """MPS / BackupCBF on the same case.  The reference explicitly documents
-    these as 'intended to be runnable, not guaranteed collision-free for
-    every shielding method' (test_drift.py:739-741): assert completion and
-    sane dynamics, record the outcome."""
-    r = _run(algo, "lane_change")
+def test_high_friction_mps_runs():
+    """MPS on the same case.  The reference explicitly documents these as
+    'intended to be runnable, not guaranteed collision-free for every
+    shielding method' (test_drift.py:739-741): assert completion and sane
+    dynamics, record the outcome."""
+    r = _run("mps", "lane_change")
     assert np.isfinite(r["x_final"]).all()
     assert r["x_final"][0] > 30.0  # drove a meaningful distance
     assert r["nominal_steps"] + r["backup_steps"] > 0
-
-
-@pytest.mark.slow
-def test_stop_backup_no_collision():
-    """'--backup stop' axis: the stopping backup must brake before the ego-
-    lane obstacle (expected_collision=False, test_drift.py:733-737)."""
-    # 9 s: braking completes by ~7 s (obstacle at x=60, backup
-    # engages ~x=40); the trailing seconds added nothing
-    r = _run("gatekeeper", "stop", moving=False, tf=9.0)
-    assert not r["collision"], f"collision at {r['x_final'][:2]}"
-    # the car must actually have slowed (the backup engaged at some point)
-    assert r["backup_steps"] > 0 or r["x_final"][5] < 10.0
 
 
 @pytest.mark.slow
