@@ -212,6 +212,13 @@ class LocalTrackingController:
           win (VTOL N=30 on v5e: 92 -> 69 ms per 24-Newton solve, PERF.md
           round-5); kept at 1 on CPU, where dispatch overhead is nil and
           unrolling only bloats compile (test-suite wall time).
+        - ``mpc_loop_unroll``: unroll the Newton/AL ``fori_loop``s too
+          (``MPCConfig.loop_unroll``).  Opt-in, default OFF: measured on
+          v5e (PERF.md round-5) the cross-iteration fusion wins only
+          ~1 ms at the RTI budget (38.7 -> 37.7 ms median through the
+          wrapper, tunnel-RTT-dominated) for +94 s of first compile, and
+          at the 8x3 accuracy budget on N=30 the unrolled program's XLA
+          compile exceeds 15 minutes — a knob, not a default.
         """
         import jax as _jax
 
@@ -231,6 +238,8 @@ class LocalTrackingController:
             kw["outer_iters"] = int(robot_spec["mpc_outer_iters"])
         if "mpc_newton_iters" in robot_spec:
             kw["newton_iters"] = int(robot_spec["mpc_newton_iters"])
+        if "mpc_loop_unroll" in robot_spec:
+            kw["loop_unroll"] = bool(robot_spec["mpc_loop_unroll"])
         return base(**kw)
 
     @staticmethod

@@ -154,6 +154,18 @@ class MPCConfig(NamedTuple):
     # first control) — the same envelope class the fused-kernel parity
     # gates bound; certification paths keep unroll=1.
     scan_unroll: int = 1
+    # Companion dispatch-latency knob: unroll the Newton and AL-outer
+    # ``fori_loop``s themselves so XLA can fuse ACROSS iteration
+    # boundaries (a rolled loop is an XLA While whose body is compiled in
+    # isolation; cross-iteration fusion of the factorization/line-search
+    # chains is only possible when the iterations are in one straight-line
+    # program).  Measured on v5e VTOL2D N=30 (PERF.md round-5): ~1 ms
+    # median win at the RTI budget through the wrapper (the path is
+    # tunnel-RTT-dominated) for +94 s of first compile, and a >15-minute
+    # XLA compile at the 8x3 accuracy budget — so this stays an OPT-IN
+    # knob (same honest-negative-result class as newton_f64).  Same
+    # op-ordering-noise numerics envelope as scan_unroll.
+    loop_unroll: bool = False
 
 
 class MPCState(NamedTuple):
@@ -635,7 +647,11 @@ def solve(
     def outer_body(i, carry):
         Uf, lam, rho = carry
         Uf = jax.lax.fori_loop(
-            0, cfg.newton_iters, lambda _, u: newton_step(u, lam, rho), Uf
+            0,
+            cfg.newton_iters,
+            lambda _, u: newton_step(u, lam, rho),
+            Uf,
+            unroll=cfg.newton_iters if cfg.loop_unroll else 1,
         )
         c = constraints(Uf.reshape(N, m)) * c_scale
         lam = jnp.maximum(0.0, lam - rho * c)
@@ -643,7 +659,11 @@ def solve(
         return (Uf, lam, rho)
 
     Uf, lam, _ = jax.lax.fori_loop(
-        0, cfg.outer_iters, outer_body, (Uf, lam, jnp.asarray(cfg.rho0, dtype))
+        0,
+        cfg.outer_iters,
+        outer_body,
+        (Uf, lam, jnp.asarray(cfg.rho0, dtype)),
+        unroll=cfg.outer_iters if cfg.loop_unroll else 1,
     )
 
     # ---- terminal active-set KKT polish ---------------------------------

@@ -235,3 +235,44 @@ def test_scan_unroll_envelope_and_wrapper_key():
 
     expected = 1 if _jax.default_backend() == "cpu" else N
     assert cfg_default.scan_unroll == expected
+
+
+def test_loop_unroll_envelope_and_wrapper_key():
+    """``loop_unroll`` (unrolling the Newton/AL fori_loops) is the same
+    scheduling-knob class as ``scan_unroll``: results must agree with the
+    rolled lowering to f32 op-ordering noise, and the wrapper must expose it
+    via the ``mpc_loop_unroll`` robot_spec key.  Default OFF everywhere:
+    measured marginal at the RTI budget (~1 ms through the wrapper) and a
+    >15-minute XLA compile at the 24-Newton accuracy budget (PERF.md
+    round-5) — an opt-in knob, not a default."""
+    obs = pad_obstacles(jnp.array([[1.5, 0.1, 0.3, 0, 0, 0, 0]]), K)
+    goal = jnp.array([3.0, 0.0, 0.0, 0.0])
+    x0 = jnp.array([0.0, 0.0, 0.0, 0.5])
+    u_prev = jnp.zeros(2)
+    us = []
+    for lu in (False, True):
+        cfg = CFG._replace(loop_unroll=lu)
+        st = mpc_cbf.init_state(DYNAMIC_UNICYCLE_2D, cfg)
+        r = jax.jit(
+            lambda x, _cfg=cfg, _st=st: mpc_cbf.solve(
+                DYNAMIC_UNICYCLE_2D, SPEC, x, goal, obs, u_prev, _st, DT, _cfg
+            ).u
+        )(x0)
+        us.append(np.asarray(r))
+    assert np.max(np.abs(us[0] - us[1])) < 5e-3
+
+    from safe_control_tpu.sim.controller import LocalTrackingController
+
+    cfg = LocalTrackingController._build_mpc_cfg(
+        {"model": "DynamicUnicycle2D", "mpc_loop_unroll": True}, N, "mpc_cbf"
+    )
+    assert cfg.loop_unroll is True
+    # default OFF — everywhere, including the RTI preset
+    cfg_default = LocalTrackingController._build_mpc_cfg(
+        {"model": "DynamicUnicycle2D"}, N, "mpc_cbf"
+    )
+    assert cfg_default.loop_unroll is False
+    cfg_rti = LocalTrackingController._build_mpc_cfg(
+        {"model": "VTOL2D", "mpc_rti": True}, 30, "mpc_cbf"
+    )
+    assert cfg_rti.loop_unroll is False
