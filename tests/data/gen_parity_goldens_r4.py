@@ -157,9 +157,18 @@ MPCC_W = dict(q_c=100.0, q_l=5.0, q_theta=30.0, q_v=20.0, q_r=10.0,
               search_window=40.0, search_back=10.0)
 
 
-def mpcc_golden(x8, psi_prev, initialized, u_prev2, path: NpPath, P,
-                U0=None):
-    """f64 SLSQP solve of the SAME MPCC NLP; returns (U (N,3), psi0)."""
+def mpcc_nlp(x8, psi_prev, initialized, u_prev2, path: NpPath, P):
+    """Independent f64 model of the MPCC NLP at one anchor.
+
+    Returns ``(cost, cons, bounds, psi0)`` — the objective, inequality
+    constraint vector (feasible iff all >= 0), SLSQP box bounds, and the
+    windowed-search path parameter.  Shared by ``mpcc_golden`` (golden
+    generation) and the f32 cost-gap certificate in
+    tests/test_parity_anchors_r4.py, so the certificate is evaluated on
+    the SAME independent NumPy model the goldens come from (structurally
+    disjoint from the repo's jax implementation; reference NLP:
+    /root/reference/position_control/mpcc.py:196-290).
+    """
     W = MPCC_W
     psi0 = path.closest_psi(x8[:2], psi_prev, W["search_back"],
                             W["search_window"], not initialized)
@@ -209,6 +218,15 @@ def mpcc_golden(x8, psi_prev, initialized, u_prev2, path: NpPath, P,
     bounds = [(-P["delta_dot_max"], P["delta_dot_max"]),
               (-P["tau_dot_max"], P["tau_dot_max"]),
               (W["v_psi_min"], W["v_psi_max"])] * MPCC_N
+    return cost, cons, bounds, psi0
+
+
+def mpcc_golden(x8, psi_prev, initialized, u_prev2, path: NpPath, P,
+                U0=None):
+    """f64 SLSQP solve of the SAME MPCC NLP; returns (U (N,3), psi0)."""
+    W = MPCC_W
+    cost, cons, bounds, psi0 = mpcc_nlp(
+        x8, psi_prev, initialized, u_prev2, path, P)
     if U0 is None:
         U0 = np.zeros((MPCC_N, 3))
         U0[:, 2] = W["v_psi_ref"]
